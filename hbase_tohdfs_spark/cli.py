@@ -1,0 +1,150 @@
+"""CLI dispatcher mirroring the reference's 8 verbs (``App.java:14-29``).
+
+Same verb names and positional-arg order as ``README.md:9-31``, with
+proper arity validation (the reference only checks ``args.length == 0``
+and otherwise throws raw ArrayIndexOutOfBounds — SURVEY.md §2.8 B5).
+
+The HBase ``{table}`` argument becomes a KV-dataset path; ``{cf}`` filters
+the column family exactly like ``scan.addFamily``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from hbase_tohdfs_spark import __version__
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hbase-tohdfs-spark",
+        description=f"PySpark-native HBase-ToHDFS engine. Version: {__version__}",
+    )
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    s = sub.add_parser("CreateTable", help="create a pre-split KV dataset")
+    s.add_argument("table")
+    s.add_argument("cf")
+    s.add_argument("regions", type=int)
+
+    s = sub.add_parser("PopulateTable", help="generate synthetic cells")
+    s.add_argument("mappers", type=int)
+    s.add_argument("records", type=int)
+    s.add_argument("tmpPath")  # accepted for arg parity; unused (no bulk-load step)
+    s.add_argument("table")
+    s.add_argument("cf")
+    s.add_argument("runID")
+
+    s = sub.add_parser("ExportHBaseTableToDelimiteredTxt")
+    s.add_argument("table")
+    s.add_argument("cf")
+    s.add_argument("outputFolder")
+    s.add_argument("shouldCompressWithGz")
+    s.add_argument("schemaLocationOnHdfs")
+    s.add_argument("delimiter")
+    s.add_argument("rowKeyColumn", nargs="?", default=None)
+
+    s = sub.add_parser("ExportHBaseTableToDelimiteredSeq")
+    s.add_argument("table")
+    s.add_argument("cf")
+    s.add_argument("outputFolder")
+    s.add_argument("compressionCodec")
+    s.add_argument("schemaLocationOnHdfs")
+    s.add_argument("delimiter")
+    s.add_argument("rowKeyColumn", nargs="?", default=None)
+
+    for verb in ("ExportHBaseTableToAvro", "ExportHBaseTableToParquet"):
+        s = sub.add_parser(verb)
+        s.add_argument("table")
+        s.add_argument("cf")
+        s.add_argument("outputFolder")
+        s.add_argument("compressionCodec")
+        s.add_argument("schemaLocationOnHdfs")
+        s.add_argument("rowKeyColumn", nargs="?", default=None)
+
+    s = sub.add_parser("AvroReader")
+    s.add_argument("dataFile")
+    s.add_argument("schemaFile")
+    s.add_argument("numberOfRecords", nargs="?", type=int, default=None)
+
+    s = sub.add_parser("ParquetReader")
+    s.add_argument("dataFile")
+    s.add_argument("numberOfRecords", nargs="?", type=int, default=None)
+
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    # Imports deferred so `--help` stays JVM-free.
+    from hbase_tohdfs_spark import generate, table as tbl
+    from hbase_tohdfs_spark.operators import pivot as piv
+    from hbase_tohdfs_spark.session import get_spark
+    from hbase_tohdfs_spark.sinks import writers
+    from hbase_tohdfs_spark.sources import readers, schema_file
+
+    if spark is None:
+        spark = get_spark(app_name=f"hbase-tohdfs-spark:{args.verb}")
+
+    if args.verb == "CreateTable":
+        tbl.create_table(spark, args.table, args.cf, args.regions)
+    elif args.verb == "PopulateTable":
+        cells = generate.populate_cells(spark, args.mappers, args.records, args.runID)
+        tbl.write_cells(cells, args.table)
+    elif args.verb in (
+        "ExportHBaseTableToDelimiteredTxt",
+        "ExportHBaseTableToDelimiteredSeq",
+    ):
+        schema = schema_file.load_schema(args.schemaLocationOnHdfs, fmt="csv")
+        cells = tbl.read_table(spark, args.table)
+        wide = piv.pivot_cells(
+            cells,
+            schema.columns,
+            row_key_col=args.rowKeyColumn,
+            column_family=args.cf,
+            drop_empty=False,
+        )
+        if args.verb == "ExportHBaseTableToDelimiteredTxt":
+            gz = args.shouldCompressWithGz.lower() == "true"
+            writers.write_delimited_text(
+                wide, args.outputFolder, schema.columns, args.delimiter, gzip=gz
+            )
+        else:
+            writers.write_sequencefile(
+                wide,
+                args.outputFolder,
+                schema.columns,
+                args.delimiter,
+                codec=args.compressionCodec,
+            )
+    elif args.verb in ("ExportHBaseTableToAvro", "ExportHBaseTableToParquet"):
+        schema = schema_file.load_schema(args.schemaLocationOnHdfs, fmt="avro")
+        cells = tbl.read_table(spark, args.table)
+        typed = piv.pivot_typed(
+            cells,
+            schema,
+            row_key_col=args.rowKeyColumn,
+            column_family=args.cf,
+            drop_empty=True,
+        ).select(*schema.columns)  # reference emits schema fields only
+        if args.verb == "ExportHBaseTableToAvro":
+            writers.write_avro(
+                typed, args.outputFolder, schema, codec=args.compressionCodec
+            )
+        else:
+            writers.write_parquet(typed, args.outputFolder, codec=args.compressionCodec)
+    elif args.verb == "AvroReader":
+        with open(args.schemaFile, encoding="utf-8") as fh:
+            reader_schema = fh.read()
+        df = readers.read_avro(spark, args.dataFile, reader_schema_json=reader_schema)
+        readers.print_records(df, args.numberOfRecords)
+    elif args.verb == "ParquetReader":
+        df = readers.read_parquet(spark, args.dataFile)
+        readers.print_records(df, args.numberOfRecords)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

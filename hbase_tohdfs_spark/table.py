@@ -1,0 +1,85 @@
+"""CreateTable equivalent: a range-partitioned managed KV dataset.
+
+The reference pre-splits an HBase table into N regions at even key-range
+boundaries (``CreateTable.java:61-74``: split points at
+``Short.MAX_VALUE/N`` intervals, keys zero-padded to width 5), with snappy
+compression and 64KB blocks (``CreateTable.java:50-52``).
+
+Our "table" is a Parquet dataset of CELL_SCHEMA cells.  The pre-split
+becomes ``repartitionByRange(n, row_key)`` + ``sortWithinPartitions`` at
+write time — the same even spread of the key space across files, and the
+sorted-by-rowkey layout restores the property the reference's map-only
+export relied on (cells of one row are adjacent).  Bulk-load machinery
+(``PopulateTable.java:68-88``, HFileUtils chmod) has no Spark analogue and
+is deliberately absent.
+
+Scale: range partitioning samples the key distribution (no driver
+collect); N files of ~even size regardless of key skew.  At 100 TB you
+would additionally bucket by ``row_key`` (``write.bucketBy``) so the pivot
+reuses the storage partitioning and skips its shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_tohdfs_spark.model import CELL_SCHEMA
+
+_META_FILE = "_kv_table.json"
+
+
+def create_table(
+    spark: SparkSession, path: str, column_family: str = "c", num_regions: int = 4
+) -> None:
+    """DDL: create an empty KV dataset with table metadata.
+
+    Mirrors ``CreateTable {table} {cf} {regions}`` (``CreateTable.java:20``).
+    """
+    empty = spark.createDataFrame([], CELL_SCHEMA)
+    empty.write.mode("errorifexists").parquet(path)
+    meta = {
+        "column_family": column_family,
+        "num_regions": num_regions,
+        "compression": "snappy",
+        "version": 1,
+    }
+    with open(os.path.join(path, _META_FILE), "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+
+
+def table_meta(path: str) -> dict:
+    with open(os.path.join(path, _META_FILE), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def write_cells(
+    cells: DataFrame, path: str, num_regions: int | None = None, mode: str = "append"
+) -> None:
+    """Bulk-ingest cells, range-partitioned and sorted like HFiles.
+
+    ``repartitionByRange(num_regions, row_key)`` is the
+    TotalOrderPartitioner analogue (``PopulateTable.java:68``);
+    ``sortWithinPartitions(row_key, qualifier, ts)`` matches HBase's cell
+    ordering so downstream scans see rows contiguously.
+    """
+    if num_regions is None:
+        try:
+            num_regions = table_meta(path).get("num_regions", 4)
+        except FileNotFoundError:
+            num_regions = 4
+    (
+        cells.repartitionByRange(num_regions, "row_key")
+        .sortWithinPartitions("row_key", "qualifier", "ts")
+        .write.mode(mode)
+        .option("compression", "snappy")
+        .parquet(path)
+    )
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the KV dataset (S1).  Family pruning and row-key predicates are
+    plain filters that Parquet row-group stats push down."""
+    return spark.read.schema(CELL_SCHEMA).parquet(path)
