@@ -1,0 +1,65 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.  Each query is forced end-to-end with
+the `noop` sink (full execution, no write cost), after a warm-up pass of
+the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hbase_tohdfs_spark.queries import REGISTRY  # noqa: E402
+from hbase_tohdfs_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "pivot_last_event_by_user",
+    "pivot_kv_roundtrip",
+    "pivot_projection_rowkey",
+    "generator_cells",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "events_hourly_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    # Warm up the JVM / codegen once so per-query times measure the plan.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    extra = [n for n in REGISTRY if n not in BENCH_QUERIES]
+    timings: dict[str, float] = {}
+    for name in names + extra:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,395 @@
+"""Query registry: every SURVEY.md §2 operator as a (spark_fn, oracle_sql) pair.
+
+Each entry is ``name -> QuerySpec(fn, oracle)`` where ``fn(spark, sf_dir)``
+builds the DataFrame with the engine's operators and ``oracle`` is the
+ANSI-SQL equivalent DuckDB runs on the same parquet tables (views
+``region nation customer supplier part orders lineitem events documents
+embeddings`` are pre-registered by the driver).  Column names/aliases match
+exactly — the driver's compare sorts columns by name before hashing.
+
+Conventions for hash-stable results:
+* double aggregates are rounded (2 decimals) on BOTH sides;
+* timestamps are rendered with an explicit format on BOTH sides;
+* every ordering used under a LIMIT carries a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_tohdfs_spark import generate
+from hbase_tohdfs_spark.model import parse_avro_schema_json
+from hbase_tohdfs_spark.operators import pivot as piv
+from hbase_tohdfs_spark.operators import unpivot as unp
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> driver runs rows-only check
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read it as long nanos (legacy conf, runtime-settable) and
+    rebuild a microsecond TimestampType column — matching DuckDB's
+    TIMESTAMP_NS -> epoch_us truncation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = _t(spark, sf_dir, "events")
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --------------------------------------------------------------------------
+# Reference surface: the pivot family (SURVEY §2.2)
+# --------------------------------------------------------------------------
+def q_pivot_last_event_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2: pivot narrow cells to wide with last-write-wins.
+
+    The `events` table plays the HBase scan: each event is a cell
+    ``(row_key=user_id, qualifier=event_type, value, ts)``; the wide row
+    holds each user's most recent value per event type.
+    """
+    events = _events(spark, sf_dir)
+    cells = events.select(
+        F.col("user_id").cast("string").alias("row_key"),
+        F.lit("c").alias("cf"),
+        F.col("event_type").alias("qualifier"),
+        F.col("value").cast("string").cast("binary").alias("value"),
+        F.unix_micros(F.col("ts")).alias("ts"),
+    )
+    wide = piv.pivot_cells(cells, EVENT_TYPES)
+    return wide.select(
+        "row_key",
+        *[F.col(c).cast("string").cast("double").alias(c) for c in EVENT_TYPES],
+    )
+
+
+_PIVOT_LAST_EVENT_ORACLE = (
+    "SELECT CAST(user_id AS VARCHAR) AS row_key, "
+    + ", ".join(
+        f"arg_max(value, epoch_us(ts)) FILTER (WHERE event_type = '{t}') AS {t}"
+        for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
+_KV_ROUNDTRIP_SCHEMA = parse_avro_schema_json(
+    """{"type":"record","name":"Lineitem","fields":[
+        {"name":"l_partkey","type":"long"},
+        {"name":"l_suppkey","type":"long"},
+        {"name":"l_linenumber","type":"int"},
+        {"name":"l_returnflag","type":"string"},
+        {"name":"l_linestatus","type":"string"}]}"""
+)
+
+
+def q_pivot_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P3+P5: typed round-trip lineitem -> BE-encoded cells -> pivot ->
+    decode.  Exercises the Bytes.toInt/toLong codec end-to-end."""
+    li = _t(spark, sf_dir, "lineitem")
+    # No subset of lineitem columns is guaranteed unique in this synthetic
+    # data, so the row key covers every projected column: colliding keys
+    # then carry identical cell values and the pivot's merge is exactly
+    # SELECT DISTINCT of the projection.
+    row_key = F.concat_ws(
+        "-",
+        F.lpad(F.col("l_orderkey").cast("string"), 10, "0"),
+        F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    )
+    cells = unp.typed_cells(
+        li,
+        row_key,
+        ["l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+    )
+    return piv.pivot_typed(cells, _KV_ROUNDTRIP_SCHEMA, drop_empty=True)
+
+
+_KV_ROUNDTRIP_ORACLE = """
+    SELECT DISTINCT
+           lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-'
+             || lpad(CAST(l_linenumber AS VARCHAR), 2, '0') || '-'
+             || CAST(l_partkey AS VARCHAR) || '-'
+             || CAST(l_suppkey AS VARCHAR) || '-'
+             || l_returnflag || '-' || l_linestatus AS row_key,
+           l_partkey, l_suppkey, l_linenumber, l_returnflag, l_linestatus
+    FROM lineitem
+"""
+
+
+def q_pivot_projection_rowkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4: projection drops undeclared qualifiers; the virtual row-key
+    column materializes the key when no cell provides it."""
+    events = _events(spark, sf_dir)
+    cells = unp.unpivot_to_cells(
+        events,
+        F.col("event_id"),
+        ["event_type", "props"],  # 'props' exists but is NOT in the schema
+    )
+    wide = piv.pivot_cells(cells, ["rk", "event_type"], row_key_col="rk")
+    return wide.select(
+        "row_key",
+        F.col("rk").cast("string").alias("rk"),
+        F.col("event_type").cast("string").alias("event_type"),
+    )
+
+
+_PIVOT_PROJECTION_ORACLE = """
+    SELECT CAST(event_id AS VARCHAR) AS row_key,
+           CAST(event_id AS VARCHAR) AS rk,
+           event_type
+    FROM events
+"""
+
+
+def q_generator_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: the deterministic PopulateTable generator (2 tasks x 500 rows),
+    cell values stringified for comparison."""
+    cells = generate.populate_cells(spark, 2, 500, "bench")
+    return cells.select(
+        "row_key",
+        "cf",
+        "qualifier",
+        F.col("value").cast("string").alias("value_str"),
+        "ts",
+    )
+
+
+def q_reader_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6: the console-reader limit — the reference's only top-k."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy("o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+_READER_LIMIT_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           o_orderpriority
+    FROM orders ORDER BY o_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Analytics headliners (TPC-H-style) — the "query engine" capability the
+# north star adds on the reference's floor; also the bench workload.
+# --------------------------------------------------------------------------
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_TPCH_Q1_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + top-k.  `customer` is tiny at every SF -> broadcast."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_TPCH_Q3_ORACLE = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way join through the dimension chain; small dims broadcast."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+_TPCH_Q5_ORACLE = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_TPCH_Q6_ORACLE = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch twin of the streaming pivot)."""
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_EVENTS_HOURLY_ORACLE = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+REGISTRY: dict[str, QuerySpec] = {
+    "pivot_last_event_by_user": QuerySpec(
+        q_pivot_last_event_by_user, _PIVOT_LAST_EVENT_ORACLE
+    ),
+    "pivot_kv_roundtrip": QuerySpec(q_pivot_kv_roundtrip, _KV_ROUNDTRIP_ORACLE),
+    "pivot_projection_rowkey": QuerySpec(
+        q_pivot_projection_rowkey, _PIVOT_PROJECTION_ORACLE
+    ),
+    "generator_cells": QuerySpec(
+        q_generator_cells,
+        generate.populate_cells_oracle_sql(2, 500, "bench").replace(
+            "AS value_str", "AS value_str"
+        ),
+    ),
+    "reader_limit": QuerySpec(q_reader_limit, _READER_LIMIT_ORACLE),
+    "tpch_q1": QuerySpec(q_tpch_q1, _TPCH_Q1_ORACLE),
+    "tpch_q3": QuerySpec(q_tpch_q3, _TPCH_Q3_ORACLE),
+    "tpch_q5": QuerySpec(q_tpch_q5, _TPCH_Q5_ORACLE),
+    "tpch_q6": QuerySpec(q_tpch_q6, _TPCH_Q6_ORACLE),
+    "events_hourly_rollup": QuerySpec(q_events_hourly_rollup, _EVENTS_HOURLY_ORACLE),
+}
