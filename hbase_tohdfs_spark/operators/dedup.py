@@ -1,0 +1,259 @@
+"""Deduplication operators for a training-data pipeline.
+
+Four families, each a standard public technique re-expressed as DataFrame
+ops (no Python in the hot path):
+
+* exact        — content-hash groupBy, keep lowest doc_id.
+* MinHash+LSH  — word-shingles -> H minhashes -> bands -> bucket self-join
+                 (Broder '97; the banding analysis is the classic
+                 Leskovec/Rajaraman/Ullman MMDS construction).
+* SimHash      — 60-bit sign-of-weighted-sum fingerprint (Charikar '02),
+                 computed map-side with array lambdas, zero extra shuffle.
+* Embedding    — cosine-over-threshold near-dup pairs.
+
+Scale posture (100 TB): every stage is a narrow map until the single
+keyed shuffle it needs (groupBy doc_id for signatures, join on
+(band, bucket) for candidates).  Mega-buckets from degenerate content
+(e.g. empty docs) are the classic LSH skew hazard — AQE skew-join
+handles moderate cases; pathological buckets should be capped upstream
+(drop buckets with > N members — they're near-identical boilerplate).
+
+Hash formulas are md5-based so the DuckDB oracle replays them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_tohdfs_spark.operators.text import shingles_expr, with_tokens
+
+MINHASH_FUNCS = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_FUNCS // LSH_BANDS
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on the md5 of the raw text; survivor = lowest doc_id.
+
+    One shuffle (window by hash).  At scale prefer this over
+    ``dropDuplicates([text_col])`` — hashing first means the shuffle
+    carries 32-byte keys, not document bodies.
+    """
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return (
+        docs.withColumn("content_md5", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = MINHASH_FUNCS) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    md5(i || ':' || shingle).  Computed entirely map-side (array lambdas
+    over the shingle array — no explode, no shuffle).  Docs with no
+    shingles (< k tokens) are excluded, matching the oracle."""
+    d = with_tokens(docs).withColumn("sh", shingles_expr("tokens", k))
+    d = d.filter(F.size("sh") > 0)
+    sig_cols = [
+        F.expr(f"array_min(transform(sh, s -> md5(concat('{i}:', s))))").alias(
+            f"mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return d.select("doc_id", *sig_cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS,
+) -> DataFrame:
+    """Band the signature, bucket by band hash, self-join buckets.
+
+    Output: (doc_id_a, doc_id_b) with a < b, distinct.  The join key is
+    (band_idx, bucket) so different bands never collide.
+    """
+    band_cols = []
+    for b in range(bands):
+        parts = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat(*[F.col(p) for p in parts])).alias(f"band{b}"))
+    banded = signatures.select("doc_id", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame, pairs: DataFrame, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact word-k-shingle Jaccard for candidate pairs; keeps pairs with
+    similarity >= threshold.  The shingle-set join is two broadcast-able
+    lookups at candidate scale (candidates << corpus)."""
+    sets = (
+        with_tokens(docs)
+        .withColumn("sh", shingles_expr("tokens", k))
+        .select("doc_id", F.array_distinct("sh").alias("shset"))
+    )
+    j = (
+        pairs.join(sets.withColumnRenamed("shset", "sa"), pairs.doc_id_a == sets.doc_id)
+        .drop("doc_id")
+        .join(
+            sets.withColumnRenamed("shset", "sb").withColumnRenamed(
+                "doc_id", "doc_id2"
+            ),
+            F.col("doc_id_b") == F.col("doc_id2"),
+        )
+        .drop("doc_id2")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 4)
+    return (
+        j.select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """End-to-end near-dup pipeline: MinHash -> LSH candidates -> exact
+    Jaccard verification."""
+    sigs = minhash_signatures(docs, k)
+    cands = lsh_candidate_pairs(sigs)
+    return jaccard_verify(docs, cands, k, threshold)
+
+
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash over tokens (frequency-weighted), map-side only.
+
+    For each bit b: vote = sum over tokens of ((hash(t)>>b)&1)*2-1; the
+    fingerprint sets bit b when the vote is positive.  All 60 votes are
+    array-lambda aggregates over the token-hash array — one row in, one
+    row out, no shuffle at all.
+    """
+    d = with_tokens(docs).filter(F.size("tokens") > 0)
+    d = d.withColumn(
+        "hs",
+        F.expr(
+            "transform(tokens, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
+        ),
+    )
+    # All-long arithmetic: shiftright(h, 0) exceeds int range, and ANSI
+    # mode turns a narrowing cast into a hard error.
+    bit_terms = " + ".join(
+        f"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, {b}) & 1L) * 2L - 1L) > 0"
+        f" THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return d.select("doc_id", F.expr(bit_terms).alias("simhash"))
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Scale path: block on 4 16-bit chunks (a pair within Hamming<=3 of 60
+    bits must agree exactly on >= 1 of the 4 chunks — pigeonhole), join
+    per chunk, then verify with bit_count.  This keeps the self-join
+    keyed instead of O(n^2).
+    """
+    s = simhash(docs)
+    chunks = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.expr(
+                            f"cast(shiftright(simhash, {c * 15}) & 32767L as int)"
+                        ).alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk_idx", "cc.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sa ^ sb)")
+    return cand.select(
+        "doc_id_a", "doc_id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.99, round_to: int = 6
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold (brute force).
+
+    Correctness baseline: O(n^2) pairs via self-join — fine to ~10^4
+    vectors; beyond that use the LSH route in similarity.py (random
+    hyperplane buckets) which this function's output validates.
+    """
+    e = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.expr(
+            "sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * y),"
+            " 0D, (acc, x) -> acc + x))"
+        ).alias("norm"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), round_to)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

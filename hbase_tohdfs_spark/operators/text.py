@@ -1,0 +1,167 @@
+"""Text-analysis operators for a training-data pipeline, over `documents`.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (array
+lambdas, regex, window functions) — no Python in the hot path — so the
+whole stage stays inside whole-stage codegen and scales map-side: the only
+shuffles are the final per-document aggregations, keyed on ``doc_id``.
+
+The token/shingle/hash formulas are deliberately ANSI-SQL-expressible
+(md5-based hashing, regex tokenization) so the DuckDB oracle can replay
+them exactly — see ``queries.py`` for the paired oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tokenization shared by text analysis + dedup: lowercase, split on
+# non-alphanumeric runs, drop empties.  Same regex works in Java and RE2.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    return F.expr(f"filter(split(lower({text_col}), '{TOKEN_SPLIT_RE}'), x -> x <> '')")
+
+
+def shingles_expr(tokens_col: str = "tokens", k: int = 3) -> Column:
+    """Word k-shingles: ['a b c', 'b c d', ...]; empty when < k tokens.
+
+    Guarded CASE: Spark's ``sequence(1, 0)`` counts *down* ([1, 0]) rather
+    than producing an empty sequence like SQL generate_series, and
+    ``slice(_, 0, _)`` then throws.
+    """
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) >= {k} THEN"
+        f" transform(sequence(1, size({tokens_col}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({tokens_col}, i, {k})))"
+        f" ELSE array() END"
+    )
+
+
+#: 60-bit token hash: first 15 hex chars of md5 (fits a signed long, and
+#: DuckDB computes the identical value via ('0x'||substr(md5(t),1,15))::BIGINT).
+def token_hash_expr(col: str) -> Column:
+    return F.expr(f"cast(conv(substr(md5({col}), 1, 15), 16, 10) as bigint)")
+
+
+# 5 small marker-word sets for the heuristic language-ID.  Public-knowledge
+# stopword samples; scoring is distinct-token overlap.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "en": ["the", "a", "and", "of", "to", "is", "in", "that"],
+    "es": ["el", "la", "los", "y", "de", "que", "es", "un"],
+    "fr": ["le", "la", "les", "et", "de", "que", "est", "un"],
+    "zh": ["de", "shi", "le", "bu", "wo", "zai", "you", "he"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+#: BPE-ish token estimate: letter runs, single digits, single symbols.
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("tokens", tokens_expr(text_col))
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document quality metrics: token counts, length stats, punct and
+    stopword ratios, and a composite quality score in [0, 1]."""
+    d = with_tokens(docs)
+    n_tokens = F.size("tokens")
+    n_chars = F.length("text")
+    punct = F.expr(r"length(regexp_replace(text, '[a-zA-Z0-9\\s]+', ''))")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(tokens, t -> array_contains(array({stop_list}), t)))"
+    )
+    avg_tok = F.when(n_tokens > 0, F.round(n_chars.cast("double") / n_tokens, 4))
+    punct_ratio = F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(
+        n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    # Quality: long enough, not punctuation-soup, some stopword mass.
+    quality = F.round(
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.5
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 10, F.lit(1.0)) * 0.2,
+        4,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        avg_tok.alias("avg_chars_per_token"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts (cost estimation)."""
+    # Patterns go through F.lit, NOT an F.expr SQL string — the SQL
+    # parser would eat the backslash in '\s' and quietly change the regex.
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
+            "n_tokens_ws"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0))).alias(
+            "n_tokens_bpe"
+        ),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: distinct-token overlap with per-language
+    marker sets; deterministic tie-break by language code order."""
+    d = with_tokens(docs)
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
+        arr = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        d = d.withColumn(
+            f"score_{lang}", F.expr(f"size(array_intersect(tokens, array({arr})))")
+        )
+    # CASE chain in fixed order — identical expression runs in DuckDB.
+    pred = "CASE "
+    for i, lang in enumerate(langs):
+        others = [f"score_{o}" for o in langs[i + 1 :]]
+        cond = (
+            " AND ".join(f"score_{lang} >= {o}" for o in others) if others else "TRUE"
+        )
+        pred += f"WHEN {cond} THEN '{lang}' "
+    pred += "END"
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.expr(pred).alias("predicted_lang"),
+        *[F.col(f"score_{lang}") for lang in langs],
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer et al., SIGMOD'03):
+    hash every k-shingle, keep the minimum hash of each sliding window of
+    ``window`` shingles, dedupe.  Output: per-doc fingerprint count and
+    the smallest fingerprint (a stable content signature).
+
+    Scale: posexplode is a generator (no shuffle); the window function
+    shuffles once on ``doc_id`` — partition-local afterwards.
+    """
+    d = with_tokens(docs).withColumn("sh", shingles_expr("tokens", k))
+    exploded = d.select("doc_id", F.posexplode("sh").alias("pos", "shingle"))
+    hashed = exploded.select("doc_id", "pos", F.md5("shingle").alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    fps = hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").alias("min_fingerprint"),
+    )

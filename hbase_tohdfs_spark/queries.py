@@ -393,3 +393,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q6": QuerySpec(q_tpch_q6, _TPCH_Q6_ORACLE),
     "events_hourly_rollup": QuerySpec(q_events_hourly_rollup, _EVENTS_HOURLY_ORACLE),
 }
+
+# North-star pipeline operators (dedup / similarity / text / multimodal)
+# register themselves to keep this module readable.
+from hbase_tohdfs_spark import queries_pipeline  # noqa: E402
+
+queries_pipeline.register(REGISTRY)

