@@ -43,6 +43,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names + extra:
         fn = REGISTRY[name].fn
+        spark.catalog.clearCache()  # operators may persist(); isolate timings
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()

@@ -65,6 +65,36 @@ def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("tokens", tokens_expr(text_col))
 
 
+def shingle_docs(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """``(doc_id, sh: array<string>)`` — the shared input of the MinHash /
+    fingerprint family.  Callers that branch into self-joins should
+    ``.persist()`` the result: Spark re-executes common subplans per
+    branch, and re-tokenizing the corpus N times is the dominant cost.
+    """
+    return (
+        with_tokens(docs, text_col)
+        .withColumn("sh", shingles_expr("tokens", k))
+        .select("doc_id", "sh")
+    )
+
+
+def explode_shingles(sh_docs: DataFrame) -> DataFrame:
+    """``(doc_id, pos, shingle)`` via **outer** posexplode.
+
+    Plain ``posexplode`` makes InferFiltersFromGenerate add a
+    ``size(sh) > 0`` predicate which predicate-pushdown then sinks below
+    the scan-edge fan-out exchange with the whole tokenize/shingle chain
+    inlined — recomputing it serially (measured 25x slowdown).  The
+    outer variant generates no such filter; empty docs surface as one
+    NULL row dropped *after* the Generate, where the filter can't sink.
+    """
+    return (
+        sh_docs.select(
+            "doc_id", F.posexplode_outer("sh").alias("pos", "shingle")
+        ).filter(F.col("shingle").isNotNull())
+    )
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-document quality metrics: token counts, length stats, punct and
     stopword ratios, and a composite quality score in [0, 1]."""
@@ -152,8 +182,7 @@ def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     Scale: posexplode is a generator (no shuffle); the window function
     shuffles once on ``doc_id`` — partition-local afterwards.
     """
-    d = with_tokens(docs).withColumn("sh", shingles_expr("tokens", k))
-    exploded = d.select("doc_id", F.posexplode("sh").alias("pos", "shingle"))
+    exploded = explode_shingles(shingle_docs(docs, k))
     hashed = exploded.select("doc_id", "pos", F.md5("shingle").alias("h"))
     w = (
         Window.partitionBy("doc_id")

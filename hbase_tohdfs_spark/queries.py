@@ -25,6 +25,7 @@ from hbase_tohdfs_spark import generate
 from hbase_tohdfs_spark.model import parse_avro_schema_json
 from hbase_tohdfs_spark.operators import pivot as piv
 from hbase_tohdfs_spark.operators import unpivot as unp
+from hbase_tohdfs_spark.sources import scan
 
 
 @dataclass
@@ -33,8 +34,18 @@ class QuerySpec:
     oracle: str | None  # None -> driver runs rows-only check
 
 
+# Tables whose consumers are compute-bound map stages (unpivot/encode,
+# per-document hashing, per-vector products): fan the scan out when the
+# file layout under-splits (see sources/scan.py) so those stages use the
+# whole cluster instead of one row-group's worth of tasks.
+_FANOUT_TABLES = {"lineitem", "events", "documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name in _FANOUT_TABLES:
+        return scan.read_parallel(spark, path)
+    return spark.read.parquet(path)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,7 +35,9 @@ _SH_CTE = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from hbase_tohdfs_spark.queries import _t as _qt
+
+    return _qt(spark, sf_dir, name)
 
 
 # ------------------------------------------------------------------- dedup
