@@ -174,6 +174,61 @@ def minhash_dedup_pairs(
     return jaccard_verify_from_shingles(sh_docs, cands, threshold)
 
 
+#: drop shingles occurring in more docs than this from the inverted index
+#: (boilerplate n-grams create quadratic postings; standard frequency filter)
+NGRAM_MAX_DF = 1000
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 2,
+    threshold: float = 0.5,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """Exact all-pairs word-k-gram Jaccard via an inverted-index join
+    (the set-similarity-join family: Chaudhuri et al. '06 / PPJoin).
+
+    Unlike MinHash (probabilistic candidates, then verify) this computes
+    the exact intersection size from the index itself: explode distinct
+    shingles, self-join postings on the shingle, count hits per pair —
+    |A ∩ B| — then Jaccard from per-doc set sizes.  One skew hazard: a
+    shingle occurring in f docs contributes f^2 join rows, so postings
+    with document frequency > ``max_df`` are dropped (they are
+    boilerplate; a pair made *only* of such shingles can't clear a
+    meaningful threshold).  At 100 TB you would add the PPJoin prefix
+    filter; the df cap is the 80% version with a one-line oracle.
+    """
+    sh_docs = shingle_docs(docs, k).persist()
+    sets = sh_docs.filter(F.size("sh") > 0).select(
+        "doc_id", F.array_distinct("sh").alias("shset")
+    )
+    sizes = sets.select("doc_id", F.size("shset").alias("n_sh"))
+    postings = sets.select("doc_id", F.explode("shset").alias("s"))
+    rare = postings.groupBy("s").count().filter(F.col("count") <= max_df)
+    postings = postings.join(rare.select("s"), "s")
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / F.greatest(F.col("na") + F.col("nb") - F.col("n_common"), F.lit(1)),
+        4,
+    )
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 SIMHASH_BITS = 60
 
 

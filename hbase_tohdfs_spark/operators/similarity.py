@@ -105,6 +105,104 @@ def bucket_expr(vec_col: str, planes: list[list[int]]):
     return F.expr(" + ".join(terms))
 
 
+NUM_CELLS = 16
+NUM_PROBES = 2
+
+
+def ivf_assign(
+    embeddings: DataFrame, num_cells: int = NUM_CELLS, probes: int = 1
+) -> DataFrame:
+    """IVF cell assignment: ``(vec_id, cell, cell_rank)`` for each of the
+    ``probes`` nearest centroids.
+
+    Centroids are the first ``num_cells`` vectors by ``vec_id`` — a
+    deterministic stand-in for a k-means codebook (the index structure,
+    assignment, and probing are identical; only training quality
+    differs, and determinism is what makes the result oracle-checkable).
+    Assignment broadcasts the centroid table and ranks by cosine with a
+    per-vector window — n x C products, all JVM-side.
+    """
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        "vec_id", "embedding", _norm_expr("embedding").alias("norm")
+    )
+    cent = e.filter(F.col("vec_id") < num_cells).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        (
+            F.round(_dot_expr("embedding", "cv") / (F.col("norm") * F.col("cnorm")), 6)
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= probes)
+        .select("vec_id", "cell", "cell_rank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_cells: int = NUM_CELLS,
+    probes: int = NUM_PROBES,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single nearest
+    cell; each query probes its ``probes`` nearest cells and scores only
+    those inverted lists.  The join is keyed on ``cell`` — candidate
+    volume is n * probes / num_cells per query in expectation, and the
+    per-cell lists shuffle once.  Same output shape as the exact/LSH
+    paths so recall is directly comparable.
+    """
+    from pyspark.sql import Window
+
+    # One assignment pass over the full corpus at the deeper probe count;
+    # corpus membership is its rank-1 cell, queries keep all probed cells.
+    assign = ivf_assign(embeddings, num_cells, probes=probes).persist()
+    corpus_cells = assign.filter(F.col("cell_rank") == 1).select("vec_id", "cell")
+    query_cells = (
+        assign.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    e = embeddings.select(
+        "vec_id", "embedding", _norm_expr("embedding").alias("norm")
+    )
+    corpus = e.join(corpus_cells, "vec_id")
+    q = (
+        e.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+        .join(query_cells, "query_id")
+    )
+    joined = corpus.join(
+        F.broadcast(q.select("query_id", "qv", "qnorm", "cell")),
+        on="cell",
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        _dot_expr("embedding", "qv") / (F.col("norm") * F.col("qnorm")), round_to
+    )
+    # No distinct needed: a corpus vector lives in exactly one cell, so
+    # each (query, vec) pair arises from at most one probed cell.
+    scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

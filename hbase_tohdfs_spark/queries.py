@@ -143,6 +143,39 @@ _KV_ROUNDTRIP_ORACLE = """
 """
 
 
+def q_export_delimited_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: the delimited-text sink's exact line rendering (pivot -> typed
+    decode -> '|'-joined line with empty string for NULL), checked as a
+    query so the oracle verifies byte-for-byte line format."""
+    from hbase_tohdfs_spark.operators.pivot import render_delimited
+
+    wide = q_pivot_kv_roundtrip(spark, sf_dir)
+    cols = [
+        "row_key",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+    ]
+    return render_delimited(wide, cols, "|")
+
+
+_EXPORT_LINES_ORACLE = """
+    SELECT concat_ws('|',
+             lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-'
+               || lpad(CAST(l_linenumber AS VARCHAR), 2, '0') || '-'
+               || CAST(l_partkey AS VARCHAR) || '-'
+               || CAST(l_suppkey AS VARCHAR) || '-'
+               || l_returnflag || '-' || l_linestatus,
+             CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+             CAST(l_linenumber AS VARCHAR), l_returnflag, l_linestatus
+           ) AS line
+    FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                          l_returnflag, l_linestatus FROM lineitem)
+"""
+
+
 def q_pivot_projection_rowkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+P4: projection drops undeclared qualifiers; the virtual row-key
     column materializes the key when no cell provides it."""
@@ -388,6 +421,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q_pivot_last_event_by_user, _PIVOT_LAST_EVENT_ORACLE
     ),
     "pivot_kv_roundtrip": QuerySpec(q_pivot_kv_roundtrip, _KV_ROUNDTRIP_ORACLE),
+    "export_delimited_lines": QuerySpec(
+        q_export_delimited_lines, _EXPORT_LINES_ORACLE
+    ),
     "pivot_projection_rowkey": QuerySpec(
         q_pivot_projection_rowkey, _PIVOT_PROJECTION_ORACLE
     ),

@@ -217,6 +217,81 @@ def _ann_lsh_oracle() -> str:
     """
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.5)
+
+
+_SH2_CTE = (
+    "sh2 AS (SELECT doc_id,"
+    " list_transform(generate_series(1, greatest(len(t) - 1, 0)),"
+    " i -> array_to_string(t[i:i+1], ' ')) AS s"
+    " FROM toks WHERE len(t) >= 2)"
+)
+
+NGRAM_JACCARD_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    {_SH2_CTE},
+    sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh2),
+    sizes AS (SELECT doc_id, len(ss) AS n_sh FROM sets),
+    postings AS (SELECT doc_id, unnest(ss) AS s FROM sets),
+    rare AS (SELECT s FROM postings GROUP BY s
+             HAVING count(*) <= {dedup.NGRAM_MAX_DF}),
+    p AS (SELECT doc_id, s FROM postings JOIN rare USING (s)),
+    inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     count(*) AS n_common
+              FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_id_a, doc_id_b, jaccard FROM (
+      SELECT doc_id_a, doc_id_b,
+             round(CAST(n_common AS DOUBLE)
+                   / greatest(na.n_sh + nb.n_sh - n_common, 1), 4) AS jaccard
+      FROM inter
+      JOIN sizes na ON doc_id_a = na.doc_id
+      JOIN sizes nb ON doc_id_b = nb.doc_id)
+    WHERE jaccard >= 0.5
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, ANN_QUERY_IDS, k=5)
+
+
+ANN_IVF_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) AS norm
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS cv, norm AS cnorm FROM e
+             WHERE vec_id < {similarity.NUM_CELLS}),
+    assign AS (SELECT vec_id, cell,
+                      row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY round(list_dot_product(v, cv) / (norm * cnorm), 6)
+                                   DESC, cell) AS cell_rank
+               FROM e CROSS JOIN cent),
+    corpus AS (SELECT e.vec_id, v, norm, cell
+               FROM e JOIN assign USING (vec_id) WHERE cell_rank = 1),
+    qa AS (SELECT vec_id AS query_id, cell FROM assign
+           WHERE vec_id < {len(ANN_QUERY_IDS)}
+             AND cell_rank <= {similarity.NUM_PROBES}),
+    q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
+          WHERE vec_id < {len(ANN_QUERY_IDS)}),
+    scored AS (SELECT qa.query_id, c.vec_id,
+                      round(list_dot_product(c.v, q.qv) / (c.norm * q.qnorm), 6)
+                        AS cosine
+               FROM qa JOIN q USING (query_id)
+               JOIN corpus c ON c.cell = qa.cell
+               WHERE c.vec_id <> qa.query_id),
+    ranked AS (SELECT query_id, vec_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # ------------------------------------------------------------ text analysis
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(_t(spark, sf_dir, "documents"))
@@ -382,8 +457,12 @@ def register(registry: dict) -> None:
                 q_dedup_simhash_pairs, _simhash_pairs_oracle()
             ),
             "dedup_embedding": QuerySpec(q_dedup_embedding, DEDUP_EMBEDDING_ORACLE),
+            "dedup_ngram_jaccard": QuerySpec(
+                q_dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE
+            ),
             "ann_topk": QuerySpec(q_ann_topk, ANN_TOPK_ORACLE),
             "ann_lsh": QuerySpec(q_ann_lsh, _ann_lsh_oracle()),
+            "ann_ivf": QuerySpec(q_ann_ivf, ANN_IVF_ORACLE),
             "text_stats": QuerySpec(q_text_stats, _text_stats_oracle()),
             "lang_id": QuerySpec(q_lang_id, _lang_id_oracle()),
             "token_counts": QuerySpec(q_token_counts, TOKEN_COUNTS_ORACLE),

@@ -63,6 +63,71 @@ def test_simhash_pairs_hamming(spark, docs):
     # single token legitimately flips many bits, so no presence assertion.
 
 
+def test_ngram_jaccard_exact_and_near(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.5).collect()
+    found = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in pairs}
+    assert found[(1, 2)] == 1.0  # identical text
+    assert (1, 3) in found and 0.5 <= found[(1, 3)] < 1.0
+    assert all(a < b for a, b in found)
+    assert not any(4 in p or 5 in p for p in found)  # unrelated / too short
+
+
+def test_embedding_dup_pairs_blocked_matches_naive(spark):
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    # tiny block size forces many cross-block groups (the tricky path)
+    got = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in dedup.embedding_dup_pairs(emb, threshold=0.3, block_size=7).collect()
+    }
+    vecs = {i: [float(x) for x in v] for i, v in rows}
+    # float32 storage: quantize exactly as parquet/Spark will
+    import struct
+
+    vecs = {
+        i: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        for i, v in vecs.items()
+    }
+    expect = {}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        c = round(dot / (na * nb), 6)
+        if c >= 0.3:
+            expect[(a, b)] = c
+    assert set(got) == set(expect)
+    for p, c in expect.items():
+        assert abs(got[p] - c) < 2e-6
+
+
+def test_ivf_topk_scores_match_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in similarity.cosine_topk(emb, [0, 1], k=1000).collect()
+    }
+    approx = similarity.ivf_topk(emb, [0, 1], k=5).collect()
+    assert len(approx) > 0
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        assert key in brute and brute[key] == r["cosine"]
+    # ranks are dense per query starting at 1
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_cosine_topk_self_similarity(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
