@@ -413,6 +413,187 @@ _EVENTS_HOURLY_ORACLE = """
 """
 
 
+def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-customer running revenue + order sequence."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+_WINDOW_RUNNING_ORACLE = """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS order_seq,
+           round(sum(o_totalprice) OVER w, 2) AS running_revenue
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: 3 priciest orders within each order priority."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_orderpriority",
+            "rank",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+_TOPK_PER_PRIORITY_ORACLE = """
+    SELECT o_orderpriority, rank, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          FROM orders)
+    WHERE rank <= 3
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping_id — subtotal
+    and grand-total rows alongside the detail."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "grp_id", "sum_qty", "revenue", "n_rows")
+    )
+
+
+_ROLLUP_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS grp_id,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_conditional_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation: high/low line counts per
+    order priority via CASE inside SUM."""
+    orders = _t(spark, sf_dir, "orders")
+    high = F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(high).alias("high_value_orders"),
+            F.sum(1 - high).alias("low_value_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_CONDITIONAL_AGG_ORACLE = """
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+             AS high_value_orders,
+           sum(CASE WHEN o_totalprice > 300000 THEN 0 ELSE 1 END)
+             AS low_value_orders,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (count + sum distinct users' activity)."""
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DISTINCT_USERS_ORACLE = """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: per-user activity sessions with a 30-minute
+    inactivity gap (``F.session_window`` — merge while the next event
+    starts before current_end = last_ts + gap, i.e. diff < gap)."""
+    events = _events(spark, sf_dir)
+    sw = F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+    return (
+        events.groupBy(sw.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Gaps-and-islands replay of session_window: a new session starts when
+# the microsecond gap to the previous event is >= the gap (Spark's
+# session interval is [start, last+gap) — an event landing exactly on
+# the boundary opens a new session); session_end = last event + gap.
+_SESSIONIZE_ORACLE = f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    marked AS (SELECT user_id, us, value,
+                      CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                                >= {SESSION_GAP_MIN} * 60 * 1000000
+                             OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                           THEN 1 ELSE 0 END AS new_s
+               FROM e),
+    sess AS (SELECT user_id, us, value,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+             FROM marked)
+    SELECT user_id,
+           strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(max(us) + {SESSION_GAP_MIN} * 60 * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -439,6 +620,20 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q5": QuerySpec(q_tpch_q5, _TPCH_Q5_ORACLE),
     "tpch_q6": QuerySpec(q_tpch_q6, _TPCH_Q6_ORACLE),
     "events_hourly_rollup": QuerySpec(q_events_hourly_rollup, _EVENTS_HOURLY_ORACLE),
+    "window_running_revenue": QuerySpec(
+        q_window_running_revenue, _WINDOW_RUNNING_ORACLE
+    ),
+    "topk_orders_per_priority": QuerySpec(
+        q_topk_orders_per_priority, _TOPK_PER_PRIORITY_ORACLE
+    ),
+    "rollup_revenue": QuerySpec(q_rollup_revenue, _ROLLUP_ORACLE),
+    "conditional_agg_priority": QuerySpec(
+        q_conditional_agg_priority, _CONDITIONAL_AGG_ORACLE
+    ),
+    "distinct_users_by_type": QuerySpec(
+        q_distinct_users_by_type, _DISTINCT_USERS_ORACLE
+    ),
+    "sessionize_events": QuerySpec(q_sessionize_events, _SESSIONIZE_ORACLE),
 }
 
 # North-star pipeline operators (dedup / similarity / text / multimodal)

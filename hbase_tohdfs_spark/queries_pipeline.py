@@ -435,6 +435,14 @@ def q_stream_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_event_pivot_stream(spark, sf_dir)
 
 
+def q_stream_lww_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_tohdfs_spark.streaming.pivot_stream import (
+        last_event_pivot_stream_custom,
+    )
+
+    return last_event_pivot_stream_custom(spark, sf_dir)
+
+
 def register(registry: dict) -> None:
     from hbase_tohdfs_spark.queries import (
         _EVENTS_HOURLY_ORACLE,
@@ -449,6 +457,9 @@ def register(registry: dict) -> None:
             ),
             "stream_last_event_by_user": QuerySpec(
                 q_stream_last_event, _PIVOT_LAST_EVENT_ORACLE
+            ),
+            "stream_lww_custom_state": QuerySpec(
+                q_stream_lww_custom_state, _PIVOT_LAST_EVENT_ORACLE
             ),
             "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_ORACLE),
             "dedup_minhash": QuerySpec(q_dedup_minhash, _minhash_oracle()),

@@ -89,6 +89,78 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour", "event_type")
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_LWW_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("types", T.ArrayType(T.StringType())),
+        T.StructField("tss", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+_LWW_OUTPUT_SCHEMA = T.StructType(
+    [T.StructField("user_id", T.LongType()), T.StructField("max_ts", T.LongType())]
+    + [T.StructField(t, T.DoubleType()) for t in EVENT_TYPES]
+)
+
+
+def last_event_pivot_stream_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LWW pivot as a *custom stateful operator*:
+    ``applyInPandasWithState`` keyed on ``user_id``, state = the
+    last-written (ts, value) per event type — the from-scratch version
+    of what ``max_by`` state does in :func:`last_event_pivot_stream`,
+    for operators whose transition function built-in aggregates can't
+    express (the reference's streaming HashMap pivot made explicit,
+    ``ExportHBaseTableToDelimiteredTxt.java:148-164``).
+
+    Each micro-batch emits the key's current wide row stamped with the
+    state's max ts; because state evolves monotonically, the final row
+    per key (greatest ``max_ts``) is the batch-pivot answer, recovered
+    by the small ``max_by`` dedup after the memory sink.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_lww(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            types, tss, vals = state.get
+            lww = {t: (ts, v) for t, ts, v in zip(types, tss, vals)}
+        else:
+            lww = {}
+        for pdf in pdfs:
+            for t, ts, v in zip(pdf["event_type"], pdf["ts_us"], pdf["value"]):
+                ts = int(ts)
+                if t not in lww or ts >= lww[t][0]:
+                    lww[t] = (ts, float(v))
+        state.update((list(lww), [lww[t][0] for t in lww], [lww[t][1] for t in lww]))
+        row = {"user_id": key[0], "max_ts": max(ts for ts, _ in lww.values())}
+        for t in EVENT_TYPES:
+            row[t] = lww[t][1] if t in lww else None
+        yield pd.DataFrame([row])
+
+    events = stream_events(spark, sf_dir).select(
+        "user_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    updates = events.groupBy("user_id").applyInPandasWithState(
+        update_lww,
+        outputStructType=_LWW_OUTPUT_SCHEMA,
+        stateStructType=_LWW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _run_to_memory(updates, "update")
+    # Keep each user's final emission (monotone max_ts); ties carry
+    # identical payloads, so max_by's tie-break is immaterial.
+    final = emitted.groupBy("user_id").agg(
+        *[F.max_by(t, "max_ts").alias(t) for t in EVENT_TYPES]
+    )
+    return final.select(
+        F.col("user_id").cast("string").alias("row_key"), *EVENT_TYPES
+    )
+
+
 def last_event_pivot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming last-write-wins pivot — the streaming twin of the core
     operator (``queries.q_pivot_last_event_by_user``, same oracle).
