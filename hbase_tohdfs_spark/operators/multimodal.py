@@ -97,6 +97,89 @@ def decode_image_stub(payload: bytes) -> dict:
     }
 
 
+def resize_stub(payload: bytes, target_w: int = 32, target_h: int = 32) -> dict:
+    """STUB image resize — scales the fake decode's channel means by the
+    pixel-count ratio (deterministic, oracle-replayable).  A real
+    deployment resamples pixels here (``PIL.Image.resize``); the
+    signature, batching, and schema are what the pipeline tests."""
+    img = decode_image_stub(payload)
+    ratio = (target_w * target_h) / (img["width"] * img["height"])
+    return {
+        "src_width": img["width"],
+        "src_height": img["height"],
+        "width": target_w,
+        "height": target_h,
+        "channel_means": [round(min(m * ratio, 1.0), 6) for m in img["channel_means"]],
+    }
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channel_means", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def resize_images(blobs: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Arrow-batched resize over binary payloads (stubbed resampling)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [resize_stub(bytes(b), target_w, target_h) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_width": [f["src_width"] for f in feats],
+                    "src_height": [f["src_height"] for f in feats],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channel_means": [f["channel_means"] for f in feats],
+                }
+            )
+
+    return blobs.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(blobs: DataFrame, every: int = 4) -> DataFrame:
+    """STUB video frame sampling: the fake container has
+    ``8 + md5(payload)[5] % 8`` frames; every ``every``-th frame is
+    "decoded" to a per-frame content hash ``md5(payload || ':' || idx)``.
+    One output row per sampled frame — the row-exploding batch shape a
+    real ffmpeg-based sampler produces."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "frame_idx": [], "frame_md5": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                payload = bytes(b)
+                n = 8 + hashlib.md5(payload).digest()[5] % 8
+                for idx in range(0, n, every):
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(n)
+                    out["frame_idx"].append(idx)
+                    out["frame_md5"].append(
+                        hashlib.md5(payload + b":" + str(idx).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(run, FRAME_SCHEMA)
+
+
 def decode_audio_stub(payload: bytes) -> dict:
     """STUB audio decode — raises, documenting the missing dependency."""
     raise NotImplementedError(

@@ -422,6 +422,57 @@ MEDIA_STUB_ORACLE = """
 """
 
 
+def q_media_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    resized = multimodal.resize_images(multimodal.attach_blob(docs), 32, 32)
+    return resized.select(
+        "doc_id",
+        "src_width",
+        "src_height",
+        "width",
+        "height",
+        F.col("channel_means")[0].alias("cm0"),
+        F.col("channel_means")[1].alias("cm1"),
+        F.col("channel_means")[2].alias("cm2"),
+    )
+
+
+MEDIA_RESIZE_ORACLE = """
+    WITH base AS (
+      SELECT doc_id,
+             16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS src_width,
+             16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS src_height,
+             round(('0x' || substr(md5(text), 5, 2))::INT / 255.0, 6) AS m0,
+             round(('0x' || substr(md5(text), 7, 2))::INT / 255.0, 6) AS m1,
+             round(('0x' || substr(md5(text), 9, 2))::INT / 255.0, 6) AS m2
+      FROM documents)
+    SELECT doc_id, src_width, src_height, 32 AS width, 32 AS height,
+           round(least(m0 * (1024.0 / (src_width * src_height)), 1.0), 6) AS cm0,
+           round(least(m1 * (1024.0 / (src_width * src_height)), 1.0), 6) AS cm1,
+           round(least(m2 * (1024.0 / (src_width * src_height)), 1.0), 6) AS cm2
+    FROM base
+"""
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.attach_blob(docs), every=4)
+
+
+MEDIA_FRAMES_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text,
+             8 + ('0x' || substr(md5(text), 11, 2))::INT % 8 AS n_frames
+      FROM documents),
+    idx AS (SELECT doc_id, text, n_frames,
+                   unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+            FROM base)
+    SELECT doc_id, n_frames, frame_idx,
+           md5(text || ':' || frame_idx) AS frame_md5
+    FROM idx
+"""
+
+
 # --------------------------------------------------------------- streaming
 def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_tohdfs_spark.streaming.pivot_stream import hourly_rollup_stream
@@ -480,5 +531,7 @@ def register(registry: dict) -> None:
             "doc_fingerprints": QuerySpec(q_fingerprints, FINGERPRINTS_ORACLE),
             "multimodal_features": QuerySpec(q_multimodal_features, MULTIMODAL_ORACLE),
             "media_features_stub": QuerySpec(q_media_features_stub, MEDIA_STUB_ORACLE),
+            "media_resize_stub": QuerySpec(q_media_resize_stub, MEDIA_RESIZE_ORACLE),
+            "media_frame_sample": QuerySpec(q_media_frame_sample, MEDIA_FRAMES_ORACLE),
         }
     )

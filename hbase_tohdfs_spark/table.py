@@ -83,3 +83,32 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Scan the KV dataset (S1).  Family pruning and row-key predicates are
     plain filters that Parquet row-group stats push down."""
     return spark.read.schema(CELL_SCHEMA).parquet(path)
+
+
+def write_cells_bucketed(
+    cells: DataFrame, table_name: str, num_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Bucketed variant of the KV store: ``bucketBy(row_key)`` into a
+    managed table.
+
+    This is the 100 TB export path: the pivot's ``groupBy(row_key)``
+    requires a hash distribution on ``row_key``, and a bucketed scan
+    already *provides* it, so Catalyst elides the exchange — the whole
+    export becomes a zero-shuffle map-side pipeline, the exact Spark
+    analogue of the reference's map-only job
+    (``setNumReduceTasks(0)``, ``ExportHBaseTableToDelimiteredTxt.java:85``).
+    Verified by test_bucketed_pivot_is_shuffle_free.
+    """
+    (
+        cells.write.mode(mode)
+        .bucketBy(num_buckets, "row_key")
+        .sortBy("row_key", "qualifier", "ts")
+        .option("compression", "snappy")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
+    """Scan a bucketed KV table; the bucket spec rides along in the plan."""
+    return spark.table(table_name)

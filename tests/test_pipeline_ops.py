@@ -205,6 +205,31 @@ def test_media_stub_plumbing(docs):
         assert len(r["channel_means"]) == 3
 
 
+def test_resize_plumbing(docs):
+    blobs = multimodal.attach_blob(docs)
+    rows = {r["doc_id"]: r for r in multimodal.resize_images(blobs, 32, 32).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (32, 32)
+        assert 16 <= r["src_width"] < 80
+        assert all(0.0 <= m <= 1.0 for m in r["channel_means"])
+    assert rows[1]["channel_means"] == rows[2]["channel_means"]  # same payload
+
+
+def test_frame_sample_plumbing(docs):
+    blobs = multimodal.attach_blob(docs)
+    rows = multimodal.sample_frames(blobs, every=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4, 5}
+    for frames in by_doc.values():
+        n = frames[0]["n_frames"]
+        assert 8 <= n < 16
+        assert sorted(f["frame_idx"] for f in frames) == list(range(0, n, 4))
+        assert len({f["frame_md5"] for f in frames}) == len(frames)
+
+
 def test_audio_stub_raises():
     with pytest.raises(NotImplementedError, match="torchaudio|ffmpeg"):
         multimodal.decode_audio_stub(b"RIFF....")

@@ -1,0 +1,51 @@
+"""KV table storage: range-partitioned writes and the bucketed
+zero-shuffle export path (SURVEY §4 "map-only, zero-shuffle export")."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_tohdfs_spark import generate, table
+from hbase_tohdfs_spark.operators import pivot as piv
+
+
+@pytest.fixture(scope="module")
+def cells(spark):
+    return generate.populate_cells(spark, 2, 200, "tbl")
+
+
+def test_write_read_roundtrip(spark, cells, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("kv") / "t1")
+    table.create_table(spark, path, "c", 4)
+    table.write_cells(cells, path)
+    got = table.read_table(spark, path)
+    assert got.count() == cells.count()
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in cells.schema.fields
+    ]
+    assert table.table_meta(path)["num_regions"] == 4
+
+
+def test_bucketed_pivot_is_shuffle_free(spark, cells):
+    """groupBy(row_key) over a row_key-bucketed scan must not shuffle:
+    the bucket spec satisfies the aggregation's required distribution."""
+    table.write_cells_bucketed(cells, "kv_bucketed_test", num_buckets=4)
+    try:
+        kv = table.read_bucketed_table(spark, "kv_bucketed_test")
+        cols = [f"C{i}" for i in range(10)]
+        wide = piv.pivot_cells(kv, cols)
+        plan = wide._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        assert wide.count() == kv.select("row_key").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kv_bucketed_test")
+
+
+def test_unbucketed_pivot_shuffles(spark, cells):
+    """Contrast case: the plain path needs one exchange for the pivot."""
+    cols = [f"C{i}" for i in range(10)]
+    wide = piv.pivot_cells(cells, cols)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
