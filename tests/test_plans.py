@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the scale properties the engine depends on
+(pushdown, pruning, broadcast, partial aggregation) locked in as tests so
+a regression shows up as a failure, not as a 100x slowdown at 100 TB.
+
+These inspect the *executed* plan string of real queries on the sf0.001
+test data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hbase_tohdfs_spark.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, name):
+    import contextlib
+    import io
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_tpch_q6_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6")
+    # Range predicates reach the parquet scan...
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    # ...and the scan reads only the 4 referenced columns.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_tpch_q3_broadcasts_filtered_dimension(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3")
+    assert "BroadcastExchange" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed into the scan
+
+
+def test_pivot_prunes_qualifiers_before_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pivot_last_event_by_user")
+    # The qualifier projection (P3) must reach the scan as an In filter:
+    # undeclared qualifiers are dropped before any exchange.
+    assert "In(event_type" in plan
+
+
+def test_aggregates_are_partial_then_final(spark, sf_dir):
+    """Map-side combine: every groupBy runs partial aggregation before
+    the exchange (keys collapse early, shuffle carries aggregates)."""
+    plan = _plan(spark, sf_dir, "tpch_q1")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_whole_stage_codegen_covers_scan_and_agg(spark, sf_dir):
+    import contextlib
+    import io
+
+    df = REGISTRY["tpch_q1"].fn(spark, sf_dir)
+    df.collect()  # AQE annotates codegen stages only in the final plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "codegen id" in plan
+
+
+def test_generator_has_no_scan_and_n_partitions(spark):
+    """G1 synthesizes its parallelism like NMapInputFormat: a Range seed
+    with exactly the requested task count, no input scan."""
+    from hbase_tohdfs_spark import generate
+
+    cells = generate.populate_cells(spark, 4, 100, "plans")
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan
+    assert "Range" in plan

@@ -1,0 +1,90 @@
+"""Structured Streaming operators under *multi-batch* incremental
+execution: the single-file availableNow run in the oracle harness is one
+micro-batch, which can't catch state bugs (lost partial aggregates,
+non-commutative updates).  Here the events table is split into several
+files and fed one file per trigger, so aggregation state must survive
+and merge across batches to produce the batch-equal answer.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """events.parquet re-written as 8 files (preserving rows)."""
+    out = str(tmp_path_factory.mktemp("stream") / "events_split")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df.repartition(8).write.parquet(out)
+    return out
+
+
+def _stream(spark, events_dir):
+    from hbase_tohdfs_spark.streaming.pivot_stream import EVENTS_SCHEMA
+
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force one batch per file
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run(agg, mode):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 1
+    return agg.sparkSession.table(name), batches
+
+
+def test_multibatch_rollup_equals_batch(spark, sf_dir, events_dir):
+    stream = _stream(spark, events_dir).withWatermark("ts", "1 day")
+    agg = stream.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+    got, batches = _run(agg, "complete")
+    assert batches > 1, "expected multiple micro-batches"
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_multibatch_custom_state_lww(spark, sf_dir, events_dir, monkeypatch):
+    """applyInPandasWithState keeps per-key LWW state across batches."""
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    monkeypatch.setattr(
+        ps,
+        "stream_events",
+        lambda spark_, _sf: _stream(spark_, events_dir),
+    )
+    got = ps.last_event_pivot_stream_custom(spark, "ignored")
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy("user_id")
+        .pivot("event_type", ps.EVENT_TYPES)
+        .agg(F.max_by("value", F.unix_micros("ts")))
+        .select(F.col("user_id").cast("string").alias("row_key"), *ps.EVENT_TYPES)
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, batch.collect()), key=str
+    )
