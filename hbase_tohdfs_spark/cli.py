@@ -72,6 +72,31 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("dataFile")
     s.add_argument("numberOfRecords", nargs="?", type=int, default=None)
 
+    # ---- pipeline verbs (beyond the reference's 8) ----
+    s = sub.add_parser("Dedup", help="near-duplicate detection over documents")
+    s.add_argument("documentsParquet")
+    s.add_argument("outputFolder")
+    s.add_argument(
+        "--method",
+        choices=["exact", "minhash", "simhash", "ngram", "embedding"],
+        default="minhash",
+    )
+    s.add_argument("--threshold", type=float, default=0.5)
+    s.add_argument("--shingle-k", type=int, default=3)
+
+    s = sub.add_parser("AnnTopK", help="top-k similarity search over embeddings")
+    s.add_argument("embeddingsParquet")
+    s.add_argument("outputFolder")
+    s.add_argument("k", type=int)
+    s.add_argument("--method", choices=["exact", "lsh", "ivf"], default="exact")
+    s.add_argument(
+        "--query-ids", default="0,1,2,3,4", help="comma-separated vec_ids"
+    )
+
+    s = sub.add_parser("TextStats", help="per-document quality metrics")
+    s.add_argument("documentsParquet")
+    s.add_argument("outputFolder")
+
     return p
 
 
@@ -143,6 +168,39 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif args.verb == "ParquetReader":
         df = readers.read_parquet(spark, args.dataFile)
         readers.print_records(df, args.numberOfRecords)
+    elif args.verb == "Dedup":
+        from hbase_tohdfs_spark.operators import dedup
+
+        docs = spark.read.parquet(args.documentsParquet)
+        if args.method == "exact":
+            out = dedup.exact_dedup(docs)
+        elif args.method == "minhash":
+            out = dedup.minhash_dedup_pairs(docs, args.shingle_k, args.threshold)
+        elif args.method == "simhash":
+            out = dedup.simhash_dup_pairs(docs)
+        elif args.method == "ngram":
+            out = dedup.ngram_jaccard_pairs(docs, 2, args.threshold)
+        else:
+            emb = spark.read.parquet(args.documentsParquet)
+            out = dedup.embedding_dup_pairs(emb, args.threshold)
+        out.write.mode("overwrite").parquet(args.outputFolder)
+    elif args.verb == "AnnTopK":
+        from hbase_tohdfs_spark.operators import similarity
+
+        emb = spark.read.parquet(args.embeddingsParquet)
+        qids = [int(x) for x in args.query_ids.split(",") if x != ""]
+        if args.method == "exact":
+            out = similarity.cosine_topk(emb, qids, args.k)
+        elif args.method == "lsh":
+            out = similarity.lsh_topk(emb, qids, args.k)
+        else:
+            out = similarity.ivf_topk(emb, qids, args.k)
+        out.write.mode("overwrite").parquet(args.outputFolder)
+    elif args.verb == "TextStats":
+        from hbase_tohdfs_spark.operators import text as text_ops
+
+        docs = spark.read.parquet(args.documentsParquet)
+        text_ops.text_stats(docs).write.mode("overwrite").parquet(args.outputFolder)
     return 0
 
 
