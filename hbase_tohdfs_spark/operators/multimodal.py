@@ -82,6 +82,18 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _round_half_away(x: float, digits: int = 6) -> float:
+    """SQL-style round (half away from zero).  Python's ``round`` is
+    banker's (half to even) and its last digit can disagree with the
+    DuckDB/Spark ``round`` on boundary values."""
+    import math
+
+    scale = 10.0**digits
+    return math.floor(x * scale + 0.5) / scale if x >= 0 else -math.floor(
+        -x * scale + 0.5
+    ) / scale
+
+
 def decode_image_stub(payload: bytes) -> dict:
     """STUB image decode — deterministic fake (no Pillow/libjpeg here).
 
@@ -93,7 +105,7 @@ def decode_image_stub(payload: bytes) -> dict:
     return {
         "width": 16 + h[0] % 64,
         "height": 16 + h[1] % 64,
-        "channel_means": [round(h[i] / 255.0, 6) for i in (2, 3, 4)],
+        "channel_means": [_round_half_away(h[i] / 255.0, 6) for i in (2, 3, 4)],
     }
 
 
@@ -109,7 +121,9 @@ def resize_stub(payload: bytes, target_w: int = 32, target_h: int = 32) -> dict:
         "src_height": img["height"],
         "width": target_w,
         "height": target_h,
-        "channel_means": [round(min(m * ratio, 1.0), 6) for m in img["channel_means"]],
+        "channel_means": [
+            _round_half_away(min(m * ratio, 1.0), 6) for m in img["channel_means"]
+        ],
     }
 
 

@@ -244,21 +244,34 @@ _READER_LIMIT_ORACLE = """
 # Analytics headliners (TPC-H-style) — the "query engine" capability the
 # north star adds on the reference's floor; also the bench workload.
 # --------------------------------------------------------------------------
+def _dsum(expr, alias: str, scale: int = 2):
+    """Order-independent money sum: double expr -> DECIMAL(38,6) -> exact
+    decimal sum -> double -> round.  Plain double sums change their last
+    2-decimal digit with partitioning/summation order at ~10^6 rows;
+    decimal accumulation is exact so every partitioning agrees (and the
+    DuckDB oracle replays the identical cast chain)."""
+    return F.round(
+        F.sum(expr.cast("decimal(38,6)")).cast("double"), scale
+    ).alias(alias)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
+    dsum = lambda e: F.sum(e.cast("decimal(38,6)")).cast("double")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc, "sum_disc_price"),
+            _dsum(disc * (1 + F.col("l_tax")), "sum_charge"),
+            F.round(F.sum("l_quantity") / n, 2).alias("avg_qty"),
+            F.round(dsum(F.col("l_extendedprice")) / n, 2).alias("avg_price"),
+            F.round(dsum(F.col("l_discount")) / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -267,12 +280,17 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TPCH_Q1_ORACLE = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2) AS avg_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_charge,
+           round(sum(l_quantity) / count(*), 2) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 2) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -291,11 +309,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
         joined.groupBy("l_orderkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -303,7 +317,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q3_ORACLE = """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -334,18 +349,15 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
 
 _TPCH_Q5_ORACLE = """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -367,16 +379,13 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue")
-        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
     )
 
 
 _TPCH_Q6_ORACLE = """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01'
       AND l_shipdate < TIMESTAMP '1995-01-01'
@@ -397,7 +406,7 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _dsum(F.col("value"), "sum_value"),
         )
         .orderBy("hour", "event_type")
     )
@@ -407,7 +416,8 @@ _EVENTS_HOURLY_ORACLE = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS sum_value
     FROM events
     GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -501,12 +511,13 @@ def q_conditional_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     order priority via CASE inside SUM."""
     orders = _t(spark, sf_dir, "orders")
     high = F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)
+    dsum = F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
             F.sum(high).alias("high_value_orders"),
             F.sum(1 - high).alias("low_value_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(dsum / F.count(F.lit(1)), 2).alias("avg_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -518,7 +529,8 @@ _CONDITIONAL_AGG_ORACLE = """
              AS high_value_orders,
            sum(CASE WHEN o_totalprice > 300000 THEN 0 ELSE 1 END)
              AS low_value_orders,
-           round(avg(o_totalprice), 2) AS avg_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 2) AS avg_price
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
@@ -556,7 +568,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(sw.alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _dsum(F.col("value"), "sum_value"),
         )
         .select(
             "user_id",
@@ -589,7 +601,8 @@ _SESSIONIZE_ORACLE = f"""
            strftime(make_timestamp(max(us) + {SESSION_GAP_MIN} * 60 * 1000000),
                     '%Y-%m-%d %H:%M:%S') AS session_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS sum_value
     FROM sess GROUP BY user_id, sid
 """
 

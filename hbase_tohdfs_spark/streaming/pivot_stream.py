@@ -78,7 +78,11 @@ def hourly_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "1 hour").alias("win"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # Decimal accumulation: exact, so the result is independent of
+        # micro-batch boundaries and matches the batch/oracle twin.
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+        ).alias("sum_value"),
     )
     result = _run_to_memory(agg, "complete")
     return result.select(
