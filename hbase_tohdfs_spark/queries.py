@@ -607,6 +607,61 @@ _SESSIONIZE_ORACLE = f"""
 """
 
 
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the same user's most
+    recent prior-or-equal click (point-in-time feature lookup)."""
+    from hbase_tohdfs_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"), "value", "event_type"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "us",
+        F.col("value").alias("click_value"),
+        F.col("us").alias("click_us"),
+        "event_id",
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="us",
+        value_cols=["click_value", "click_us"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.round("value", 2).alias("purchase_value"),
+        F.round("click_value", 2).alias("click_value"),
+        "click_us",
+    )
+
+
+_ASOF_ORACLE = """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value, event_type
+               FROM events),
+    p AS (SELECT event_id, user_id, us, value FROM e
+          WHERE event_type = 'purchase'),
+    c0 AS (SELECT user_id, us, value, event_id FROM e
+           WHERE event_type = 'click'),
+    c AS (SELECT user_id, us, value FROM (
+            SELECT user_id, us, value,
+                   row_number() OVER (PARTITION BY user_id, us
+                                      ORDER BY event_id DESC) AS rn
+            FROM c0) WHERE rn = 1)
+    SELECT p.event_id, p.user_id, p.us AS purchase_us,
+           round(p.value, 2) AS purchase_value,
+           round(c.value, 2) AS click_value, c.us AS click_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -647,6 +702,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_distinct_users_by_type, _DISTINCT_USERS_ORACLE
     ),
     "sessionize_events": QuerySpec(q_sessionize_events, _SESSIONIZE_ORACLE),
+    "asof_purchase_click": QuerySpec(q_asof_purchase_click, _ASOF_ORACLE),
 }
 
 # North-star pipeline operators (dedup / similarity / text / multimodal)

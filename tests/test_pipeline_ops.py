@@ -230,6 +230,29 @@ def test_frame_sample_plumbing(docs):
         assert len({f["frame_md5"] for f in frames}) == len(frames)
 
 
+def test_asof_join_semantics(spark):
+    from hbase_tohdfs_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, "L1"), ("a", 20, "L2"), ("a", 5, "L0"), ("b", 7, "L3")],
+        "k: string, ts: long, lbl: string",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0, 1), ("a", 10, 2.0, 2), ("a", 15, 3.0, 3), ("b", 9, 9.0, 4)],
+        "k: string, ts: long, v: double, seq: long",
+    )
+    got = {
+        r["lbl"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", value_cols=["v"], tiebreak="seq"
+        ).collect()
+    }
+    assert got["L0"] is None  # no right row at or before ts=5
+    assert got["L1"] == 2.0  # inclusive match at equal ts; tiebreak -> seq 2
+    assert got["L2"] == 3.0  # latest right row <= 20
+    assert got["L3"] is None  # right ts=9 is after left ts=7
+
+
 def test_audio_stub_raises():
     with pytest.raises(NotImplementedError, match="torchaudio|ffmpeg"):
         multimodal.decode_audio_stub(b"RIFF....")
