@@ -80,11 +80,21 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = LSH_BANDS,
     rows_per_band: int = LSH_ROWS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket by band hash, self-join buckets.
 
     Output: (doc_id_a, doc_id_b) with a < b, distinct.  The join key is
     (band_idx, bucket) so different bands never collide.
+
+    ``max_bucket_size`` is the mega-bucket skew guard: a bucket of f
+    docs yields f^2 join rows, and degenerate content (empty docs,
+    boilerplate) routinely lands millions of near-identical docs in one
+    bucket at corpus scale.  Buckets above the cap are dropped before
+    the self-join — their members are boilerplate-duplicates better
+    handled by exact dedup, and the frequency count is one cheap
+    aggregation on the bucket key.  Default None keeps exact-LSH
+    semantics (and oracle parity).
     """
     band_cols = []
     for b in range(bands):
@@ -104,6 +114,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band_idx", "bb.bucket")
+    if max_bucket_size is not None:
+        small = (
+            buckets.groupBy("band_idx", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band_idx", "bucket")
+        )
+        buckets = buckets.join(small, ["band_idx", "bucket"])
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -662,6 +662,121 @@ _ASOF_ORACLE = """
 """
 
 
+def q_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per purchase, how many clicks the same user made in
+    the hour strictly before it (bucketized window join, no nested loop)."""
+    from hbase_tohdfs_spark.operators.rangejoin import range_join
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("click_us")
+    )
+    hour_us = 3600 * 1000 * 1000
+    pairs = range_join(
+        purchases, clicks, on="user_id",
+        left_ts="us", right_ts="click_us",
+        lower=-hour_us, upper=-1,
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+    return (
+        purchases.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("us").alias("purchase_us"),
+            F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
+        )
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+               FROM events),
+    p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, us AS click_us FROM e WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.us AS purchase_us,
+           count(c.click_us) AS n_clicks_1h
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.click_us >= p.us - 3600000000 AND c.click_us <= p.us - 1
+    GROUP BY p.event_id, p.user_id, p.us
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per event type."""
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PERCENTILES_ORACLE = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never placed an order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_ANTI_JOIN_ORACLE = """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_users_clicked_not_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: users with clicks but no purchases (EXCEPT)."""
+    events = _events(spark, sf_dir)
+    clicked = events.filter(F.col("event_type") == "click").select("user_id")
+    purchased = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicked.subtract(purchased)  # EXCEPT (distinct) semantics
+
+
+_EXCEPT_ORACLE = """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_users_clicked_and_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: users that both clicked and purchased."""
+    events = _events(spark, sf_dir)
+    clicked = events.filter(F.col("event_type") == "click").select("user_id")
+    purchased = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicked.intersect(purchased)
+
+
+_INTERSECT_ORACLE = """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -703,6 +818,19 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "sessionize_events": QuerySpec(q_sessionize_events, _SESSIONIZE_ORACLE),
     "asof_purchase_click": QuerySpec(q_asof_purchase_click, _ASOF_ORACLE),
+    "clicks_before_purchase": QuerySpec(
+        q_clicks_before_purchase, _RANGE_JOIN_ORACLE
+    ),
+    "value_percentiles": QuerySpec(q_value_percentiles, _PERCENTILES_ORACLE),
+    "customers_without_orders": QuerySpec(
+        q_customers_without_orders, _ANTI_JOIN_ORACLE
+    ),
+    "users_clicked_not_purchased": QuerySpec(
+        q_users_clicked_not_purchased, _EXCEPT_ORACLE
+    ),
+    "users_clicked_and_purchased": QuerySpec(
+        q_users_clicked_and_purchased, _INTERSECT_ORACLE
+    ),
 }
 
 # North-star pipeline operators (dedup / similarity / text / multimodal)

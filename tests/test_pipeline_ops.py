@@ -41,6 +41,21 @@ def test_minhash_finds_near_dup_pair(docs):
     assert all(a < b for a, b in found)
 
 
+def test_lsh_bucket_cap_drops_mega_buckets(spark):
+    # 4 identical docs share every bucket (bucket size 4); cap at 3
+    # removes all their candidate pairs.
+    rows = [(i, "aaa bbb ccc ddd eee", "en", "s", 19) for i in range(4)]
+    rows.append((9, "zzz yyy xxx www vvv", "en", "s", 19))
+    d = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    sigs = dedup.minhash_signatures(d)
+    uncapped = dedup.lsh_candidate_pairs(sigs).count()
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=3).count()
+    assert uncapped == 6  # C(4,2)
+    assert capped == 0
+
+
 def test_minhash_excludes_short_docs(docs):
     sigs = dedup.minhash_signatures(docs)
     assert 5 not in {r["doc_id"] for r in sigs.collect()}
@@ -251,6 +266,42 @@ def test_asof_join_semantics(spark):
     assert got["L1"] == 2.0  # inclusive match at equal ts; tiebreak -> seq 2
     assert got["L2"] == 3.0  # latest right row <= 20
     assert got["L3"] is None  # right ts=9 is after left ts=7
+
+
+def test_range_join_boundaries(spark):
+    from hbase_tohdfs_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame([("a", 1000, "L")], "k: string, lts: long, lbl: string")
+    right = spark.createDataFrame(
+        [("a", 899, 0), ("a", 900, 1), ("a", 1000, 2), ("a", 1001, 3), ("b", 950, 4)],
+        "k: string, rts: long, tag: int",
+    )
+    got = {
+        r["tag"]
+        for r in range_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", lower=-100, upper=0
+        ).collect()
+    }
+    # window [900, 1000] inclusive: 899 out, 1001 out, other key out
+    assert got == {1, 2}
+
+
+def test_range_join_crosses_bucket_boundary(spark):
+    from hbase_tohdfs_spark.operators.rangejoin import range_join
+
+    # W = 100; left ts 149 covers [49, 149] which spans buckets 0 and 1
+    left = spark.createDataFrame([("a", 149)], "k: string, lts: long")
+    right = spark.createDataFrame(
+        [("a", 49), ("a", 99), ("a", 100), ("a", 149), ("a", 48), ("a", 150)],
+        "k: string, rts: long",
+    )
+    got = sorted(
+        r["rts"]
+        for r in range_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", lower=-100, upper=0
+        ).collect()
+    )
+    assert got == [49, 99, 100, 149]
 
 
 def test_audio_stub_raises():
