@@ -394,6 +394,33 @@ _TPCH_Q6_ORACLE = """
 """
 
 
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + self-join; small-quantity outliers'
+    revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    thr = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.sum("l_quantity") / F.count(F.lit(1))).alias("thr")
+    )
+    dsum = F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+    return (
+        li.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(F.round(dsum / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_TPCH_Q17_ORACLE = """
+    WITH thr AS (SELECT l_partkey AS pk,
+                        0.5 * sum(l_quantity) / count(*) AS thr
+                 FROM lineitem GROUP BY l_partkey)
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN thr ON l_partkey = pk
+    WHERE l_quantity < thr
+"""
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup (batch twin of the streaming pivot)."""
     events = _events(spark, sf_dir)
@@ -802,6 +829,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q3": QuerySpec(q_tpch_q3, _TPCH_Q3_ORACLE),
     "tpch_q5": QuerySpec(q_tpch_q5, _TPCH_Q5_ORACLE),
     "tpch_q6": QuerySpec(q_tpch_q6, _TPCH_Q6_ORACLE),
+    "tpch_q17": QuerySpec(q_tpch_q17, _TPCH_Q17_ORACLE),
     "events_hourly_rollup": QuerySpec(q_events_hourly_rollup, _EVENTS_HOURLY_ORACLE),
     "window_running_revenue": QuerySpec(
         q_window_running_revenue, _WINDOW_RUNNING_ORACLE
