@@ -323,6 +323,70 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: ``(doc_id, component)``
+    with component = min doc_id of the connected component.
+
+    This is the step that turns pairwise similarity into dedup *groups*
+    (keep one doc per component).  Iterative min-label propagation — the
+    Pregel shape on DataFrames: each round every vertex takes the min of
+    its own label and its neighbors' labels; fixpoint after
+    O(component diameter) rounds.  Near-dup components are shallow
+    (cliques and short chains), so convergence is fast; the driver-side
+    loop carries only the converged/not-converged bit, never data.
+    Each round is one join + one aggregation, both keyed shuffles;
+    results persist per round and the previous round is unpersisted
+    (bounded lineage, no runaway plan growth).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    )
+    edges = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.distinct().persist()
+    # distinct column names ("lu" vs "u"/"v") — labels derives from edges,
+    # and a shared-lineage self-join on same-named columns is ambiguous
+    labels = (
+        edges.select(F.col("u").alias("lu"))
+        .distinct()
+        .withColumn("component", F.col("lu"))
+        .persist()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, F.col("v") == F.col("lu"))
+            .groupBy(F.col("u").alias("nu"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
+            .select(
+                "lu",
+                F.least(
+                    "component", F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("component", "nc")
+            .join(labels, "lu")
+            .filter(F.col("nc") != F.col("component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("lu").alias("doc_id"), "component")
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,

@@ -59,7 +59,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """The MinHash pipeline as a composable CTE list (no leading WITH):
+    toks -> shingles -> signatures -> bands -> buckets -> candidates ->
+    verified ``mh_pairs``.  Shared by the pair query and the
+    connected-components clustering oracle."""
     mh = ", ".join(
         f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS mh{i}"
         for i in range(MINHASH_FUNCS)
@@ -72,8 +76,7 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, {b} AS band_idx, band{b} AS bucket FROM bands"
         for b in range(LSH_BANDS)
     )
-    return f"""
-    WITH {_TOKS_CTE},
+    return f"""{_TOKS_CTE},
     {_SH_CTE},
     sig AS (SELECT doc_id, {mh} FROM sh),
     bands AS (SELECT doc_id, {band_exprs} FROM sig),
@@ -82,15 +85,41 @@ def _minhash_oracle() -> str:
              FROM buckets x1 JOIN buckets x2
                ON x1.band_idx = x2.band_idx AND x1.bucket = x2.bucket
               AND x1.doc_id < x2.doc_id),
-    shset AS (SELECT doc_id, list_distinct(s) AS ss FROM sh)
-    SELECT doc_id_a, doc_id_b, jaccard FROM (
+    shset AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),
+    mh_pairs AS (SELECT doc_id_a, doc_id_b, jaccard FROM (
       SELECT doc_id_a, doc_id_b,
              round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
                    / greatest(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)), 1),
                    4) AS jaccard
       FROM cand JOIN shset a ON doc_id_a = a.doc_id
                 JOIN shset b ON doc_id_b = b.doc_id)
-    WHERE jaccard >= 0.5
+      WHERE jaccard >= 0.5)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()}
+    SELECT doc_id_a, doc_id_b, jaccard FROM mh_pairs
+    """
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash pairs -> connected components
+    (iterative min-label propagation; oracle = recursive CTE closure)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM mh_pairs
+              UNION SELECT doc_id_b AS u, doc_id_a AS v FROM mh_pairs),
+    reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+    SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u
     """
 
 
@@ -514,6 +543,7 @@ def register(registry: dict) -> None:
             ),
             "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_ORACLE),
             "dedup_minhash": QuerySpec(q_dedup_minhash, _minhash_oracle()),
+            "dedup_components": QuerySpec(q_dedup_components, _components_oracle()),
             "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_oracle()),
             "dedup_simhash_pairs": QuerySpec(
                 q_dedup_simhash_pairs, _simhash_pairs_oracle()

@@ -61,6 +61,17 @@ def test_minhash_excludes_short_docs(docs):
     assert 5 not in {r["doc_id"] for r in sigs.collect()}
 
 
+def test_connected_components_chain_and_pair(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_id_a: long, doc_id_b: long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_simhash_identical_and_different(docs):
     fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert fp[1] == fp[2]
