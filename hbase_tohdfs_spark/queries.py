@@ -634,6 +634,35 @@ _SESSIONIZE_ORACLE = f"""
 """
 
 
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup in one pass: day and
+    day+hour aggregates via GROUPING SETS, through the spark.sql API."""
+    events = _events(spark, sf_dir)
+    events.createOrReplaceTempView("events_v")
+    return spark.sql("""
+        SELECT event_type,
+               date_format(date_trunc('day', ts), 'yyyy-MM-dd') AS day,
+               date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm') AS hour,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2)
+                 AS sum_value
+        FROM events_v
+        GROUP BY event_type, GROUPING SETS ((day), (day, hour))
+    """)
+
+
+_MULTIRES_ORACLE = """
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events
+    GROUP BY event_type, GROUPING SETS ((day), (day, hour))
+"""
+
+
 def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event picks up the same user's most
     recent prior-or-equal click (point-in-time feature lookup)."""
@@ -838,6 +867,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q_topk_orders_per_priority, _TOPK_PER_PRIORITY_ORACLE
     ),
     "rollup_revenue": QuerySpec(q_rollup_revenue, _ROLLUP_ORACLE),
+    "multires_rollup": QuerySpec(q_multires_rollup, _MULTIRES_ORACLE),
     "conditional_agg_priority": QuerySpec(
         q_conditional_agg_priority, _CONDITIONAL_AGG_ORACLE
     ),
