@@ -421,6 +421,191 @@ _TPCH_Q17_ORACLE = """
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery decorrelated to a left-semi join.
+
+    This schema has no ``l_commitdate``/``l_receiptdate``, so the "late
+    line item" predicate becomes l_shipdate > o_orderdate + 60 days.  The
+    semi-join shuffles both sides on the order key and keeps only order
+    columns — no row multiplication, no dedup step.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_TPCH_Q4_ORACLE = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue report.  Fact-side filters
+    (date window on orders, returnflag on lineitem) are applied before the
+    fact-fact join; customer and nation broadcast at every SF that matters
+    (customer is ~1.5k rows/SF-0.01; at 100 TB customer would exceed the
+    broadcast threshold and AQE falls back to a shuffle join on its own)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    # Cast each FACTOR to decimal before multiplying (not the double
+    # product): price and discount are 2-decimal quantities whose
+    # double->decimal(…,6) conversion is unambiguous, and the decimal
+    # multiply is then exact — whereas casting the double product can
+    # round its 6th decimal differently across engines and flip a
+    # rounded cent when a group's sum sits on a .xx5 boundary.
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        # Round while still in decimal (exact, HALF_UP in both engines),
+        # THEN cast to double: round(double, 2) itself diverges across
+        # engines when the true sum's 3rd decimal is exactly 5.
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_TPCH_Q10_ORACLE = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l_discount AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    a broadcast dimension join.  Both sums accumulate in DECIMAL(38,6)
+    (partitioning-independent) and only the final ratio is computed in
+    double."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                2,
+            ).alias("promo_share")
+        )
+    )
+
+
+_TPCH_Q14_ORACLE = """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))) AS DOUBLE), 2) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-03-01'
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — IN-subquery with HAVING,
+    expressed as aggregate-then-join.  The per-order quantity rollup
+    shuffles once on l_orderkey; the filtered survivor set joins orders on
+    the same key and customer by broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+_TPCH_Q18_ORACLE = """
+    WITH big AS (
+      SELECT l_orderkey AS ok,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           o_totalprice, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = ok
+    JOIN customer ON o_custkey = c_custkey
+    WHERE total_qty > 150
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup (batch twin of the streaming pivot)."""
     events = _events(spark, sf_dir)
@@ -859,6 +1044,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q5": QuerySpec(q_tpch_q5, _TPCH_Q5_ORACLE),
     "tpch_q6": QuerySpec(q_tpch_q6, _TPCH_Q6_ORACLE),
     "tpch_q17": QuerySpec(q_tpch_q17, _TPCH_Q17_ORACLE),
+    "tpch_q4": QuerySpec(q_tpch_q4, _TPCH_Q4_ORACLE),
+    "tpch_q10": QuerySpec(q_tpch_q10, _TPCH_Q10_ORACLE),
+    "tpch_q14": QuerySpec(q_tpch_q14, _TPCH_Q14_ORACLE),
+    "tpch_q18": QuerySpec(q_tpch_q18, _TPCH_Q18_ORACLE),
     "events_hourly_rollup": QuerySpec(q_events_hourly_rollup, _EVENTS_HOURLY_ORACLE),
     "window_running_revenue": QuerySpec(
         q_window_running_revenue, _WINDOW_RUNNING_ORACLE
