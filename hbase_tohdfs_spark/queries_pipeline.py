@@ -523,6 +523,123 @@ def q_stream_lww_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_event_pivot_stream_custom(spark, sf_dir)
 
 
+# --------------------------------------------------- sampling / curation
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the training-data
+    rebalancing primitive.  Keep 10% of the dominant language (en) and 50%
+    of everything else, chosen by a stable md5 bucket of doc_id so the
+    sample is reproducible run-to-run, resumable, and needs no shuffle:
+    it is a pure map-side filter that scales linearly and pushes the
+    arithmetic into the scan stage.  (``TABLESAMPLE``/``df.sample`` are
+    seed-dependent per-partition and not stable across engines.)"""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+        " % 100"
+    )
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+SAMPLE_STRATIFIED_ORACLE = """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+          < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: within each exact-content group keep the
+    longest document (doc_id as tiebreak) instead of the arbitrary first —
+    the curation policy used when duplicates differ in truncation.  One
+    shuffle on the content hash; the rank is computed within partitions."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").withColumn("content_md5", F.md5("text"))
+    w = Window.partitionBy("content_md5").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_md5", "n_chars")
+    )
+
+
+DEDUP_KEEP_BEST_ORACLE = """
+    SELECT doc_id, content_md5, n_chars FROM (
+      SELECT doc_id, md5(text) AS content_md5, n_chars,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per language by tf-idf (corpus-level tf per
+    language x ln(N/df) inverse document frequency).  Two shuffles — one
+    per aggregation key (term df, lang x term tf) — then a broadcast of
+    the tiny df/total frames back onto the tf frame; the per-lang top-k is
+    a window over <=1e6 (lang, term) groups, not over raw tokens."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", "lang", F.explode(text.tokens_expr("text")).alias("term")
+    )
+    # One aggregation from raw tokens down to (doc, term) granularity —
+    # map-side partial agg shrinks the explode output before its only
+    # shuffle — then persist: tf and df both derive from this frame, and
+    # without the cache barrier Spark re-runs the tokenize+explode chain
+    # once per branch (no cross-branch subplan reuse).
+    doc_term = (
+        ex.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    df_docs = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = doc_term.groupBy("lang", "term").agg(F.sum("c").alias("tf"))
+    total = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_docs), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+TFIDF_TOP_TERMS_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    ex AS (SELECT doc_id, lang, unnest(t) AS term FROM toks),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY term),
+    tf AS (SELECT lang, term, count(*) AS tf FROM ex GROUP BY lang, term),
+    total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, tf.term AS term, tf, df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total)
+    SELECT lang, term, tf, df, tfidf, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored)
+    WHERE rk <= 5
+"""
+
+
 def register(registry: dict) -> None:
     from hbase_tohdfs_spark.queries import (
         _EVENTS_HOURLY_ORACLE,
@@ -542,6 +659,11 @@ def register(registry: dict) -> None:
                 q_stream_lww_custom_state, _PIVOT_LAST_EVENT_ORACLE
             ),
             "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_ORACLE),
+            "dedup_keep_best": QuerySpec(q_dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
+            "sample_stratified": QuerySpec(
+                q_sample_stratified, SAMPLE_STRATIFIED_ORACLE
+            ),
+            "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, TFIDF_TOP_TERMS_ORACLE),
             "dedup_minhash": QuerySpec(q_dedup_minhash, _minhash_oracle()),
             "dedup_components": QuerySpec(q_dedup_components, _components_oracle()),
             "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_oracle()),
