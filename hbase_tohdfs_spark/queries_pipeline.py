@@ -586,14 +586,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    ex = docs.select(
-        "doc_id", "lang", F.explode(text.tokens_expr("text")).alias("term")
-    )
+    # Scan + tokenize exactly once: the corpus-count branch and the
+    # token-explode branch both read this cached frame instead of
+    # re-scanning (and re-shuffling, via the fan-out) the raw text.
+    toks = docs.select(
+        "doc_id", "lang", text.tokens_expr("text").alias("t")
+    ).persist()
+    ex = toks.select("doc_id", "lang", F.explode("t").alias("term"))
     # One aggregation from raw tokens down to (doc, term) granularity —
     # map-side partial agg shrinks the explode output before its only
     # shuffle — then persist: tf and df both derive from this frame, and
-    # without the cache barrier Spark re-runs the tokenize+explode chain
-    # once per branch (no cross-branch subplan reuse).
+    # without the cache barrier Spark re-runs the explode+agg chain once
+    # per branch (no cross-branch subplan reuse).
     doc_term = (
         ex.groupBy("doc_id", "lang", "term")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -601,7 +605,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_docs = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tf = doc_term.groupBy("lang", "term").agg(F.sum("c").alias("tf"))
-    total = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    total = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_docs), "term")
         .crossJoin(F.broadcast(total))
