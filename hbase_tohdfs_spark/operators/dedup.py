@@ -363,6 +363,9 @@ def connected_components(
             .groupBy(F.col("u").alias("nu"))
             .agg(F.min("component").alias("nmin"))
         )
+        # The update join carries a per-vertex "did it shrink" flag, so
+        # the convergence check is an aggregate over this cached frame —
+        # not a third join back against the previous labels.
         new_labels = (
             labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
             .select(
@@ -370,15 +373,11 @@ def connected_components(
                 F.least(
                     "component", F.coalesce("nmin", F.col("component"))
                 ).alias("component"),
+                (F.col("nmin") < F.col("component")).alias("chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.withColumnRenamed("component", "nc")
-            .join(labels, "lu")
-            .filter(F.col("nc") != F.col("component"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("chg")).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -523,6 +523,21 @@ def q_stream_lww_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_event_pivot_stream_custom(spark, sf_dir)
 
 
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup by (user, event_type, minute) — state bounded by
+    the watermark; oracle = batch DISTINCT over the same keys."""
+    from hbase_tohdfs_spark.streaming.pivot_stream import dedup_events_stream
+
+    return dedup_events_stream(spark, sf_dir)
+
+
+STREAM_DEDUP_ORACLE = """
+    SELECT DISTINCT user_id, event_type,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute
+    FROM events
+"""
+
+
 # --------------------------------------------------- sampling / curation
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling — the training-data
@@ -661,6 +676,9 @@ def register(registry: dict) -> None:
             ),
             "stream_lww_custom_state": QuerySpec(
                 q_stream_lww_custom_state, _PIVOT_LAST_EVENT_ORACLE
+            ),
+            "stream_dedup_events": QuerySpec(
+                q_stream_dedup_events, STREAM_DEDUP_ORACLE
             ),
             "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_ORACLE),
             "dedup_keep_best": QuerySpec(q_dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),

@@ -194,3 +194,35 @@ def last_event_pivot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_key",
         *[F.col(c).cast("string").cast("double").alias(c) for c in event_types],
     )
+
+
+def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: at most one event per (user, event_type,
+    minute), kept on first arrival — the ingest-side guard against
+    re-delivered events (at-least-once sources replay; downstream wants
+    exactly-once rows).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the key's event time, so state is bounded by the
+    delay (1 day) x key arrival rate regardless of total stream length —
+    the property that makes this run forever at ingest scale, unlike an
+    unbounded ``dropDuplicates``.  Output projects the key columns only:
+    which *row* survives is arrival-order-dependent, the key set is not
+    (and is what the batch DISTINCT oracle checks).
+    """
+    events = stream_events(spark, sf_dir).withWatermark("ts", "1 day")
+    keyed = events.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", "ts").alias("minute"),
+        "ts",
+    )
+    dd = keyed.dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+    result = _run_to_memory(
+        dd.select("user_id", "event_type", "minute"), "append"
+    )
+    return result.select(
+        "user_id",
+        "event_type",
+        F.date_format("minute", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+    )

@@ -88,3 +88,63 @@ def test_multibatch_custom_state_lww(spark, sf_dir, events_dir, monkeypatch):
     assert sorted(map(tuple, got.collect()), key=str) == sorted(
         map(tuple, batch.collect()), key=str
     )
+
+
+def test_multibatch_stream_dedup(spark, sf_dir, events_dir, monkeypatch):
+    """dropDuplicatesWithinWatermark suppresses re-deliveries arriving in
+    LATER micro-batches.  Files are split by event-time range and each is
+    delivered twice, in time order with increasing mod-times — the
+    at-least-once replay shape.  (A time-random split would lose keys:
+    once the watermark advances past an event's time, a later batch
+    carrying its only occurrence is dropped as late — that's watermark
+    semantics, not a dedup bug.)"""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    slices_root = tempfile.mkdtemp(prefix="sliced_events")
+    df = spark.read.parquet(events_dir).withColumn(
+        "bucket", F.ntile(8).over(Window.orderBy("ts"))
+    )
+    for b in range(1, 9):
+        df.filter(F.col("bucket") == b).drop("bucket").coalesce(1).write.parquet(
+            f"{slices_root}/s{b}"
+        )
+
+    dup_dir = tempfile.mkdtemp(prefix="dup_events")
+    t = 1_000_000_000
+    for b in range(1, 9):
+        (src,) = glob.glob(f"{slices_root}/s{b}/*.parquet")
+        for tag in ("a", "b"):  # original, then immediate re-delivery
+            dst = f"{dup_dir}/{tag}{b}.parquet"
+            shutil.copy(src, dst)
+            os.utime(dst, (t, t))
+            t += 60
+
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    monkeypatch.setattr(
+        ps,
+        "stream_events",
+        lambda spark_, _sf: _stream(spark_, dup_dir),
+    )
+    got = ps.dedup_events_stream(spark, "ignored")
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format(
+                F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("minute"),
+        )
+        .distinct()
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(set(got_rows)), "stream emitted duplicate keys"
+    assert got_rows == sorted(map(tuple, batch.collect()))
