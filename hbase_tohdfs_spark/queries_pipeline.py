@@ -538,6 +538,50 @@ STREAM_DEDUP_ORACLE = """
 """
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for pathologically skewed keys.
+
+    event_type has 5 distinct values: a plain groupBy routes ~1/5 of a
+    100 TB stream through single reducers.  Salting splits each hot key
+    16 ways (phase 1: groupBy(key, salt) — map-side combine still
+    applies), then the tiny per-salt partials re-aggregate on the bare
+    key (phase 2: 5x16 rows).  Decimal accumulation keeps the two-phase
+    sum bit-identical to the single-phase oracle.  Built-in hash-agg +
+    AQE skew handling cover most cases; this is the explicit pattern for
+    when a single KEY (not partition) is hot, which AQE cannot split.
+    """
+    from hbase_tohdfs_spark.queries import _events
+
+    events = _events(spark, sf_dir)
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt")
+    partial = (
+        events.select("event_type", "value", salt)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("psum"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("psum"), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKEW_SALTED_AGG_ORACLE = """
+    SELECT event_type, count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
 # --------------------------------------------------- sampling / curation
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based stratified sampling — the training-data
@@ -680,6 +724,7 @@ def register(registry: dict) -> None:
             "stream_dedup_events": QuerySpec(
                 q_stream_dedup_events, STREAM_DEDUP_ORACLE
             ),
+            "skew_salted_agg": QuerySpec(q_skew_salted_agg, SKEW_SALTED_AGG_ORACLE),
             "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_ORACLE),
             "dedup_keep_best": QuerySpec(q_dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
             "sample_stratified": QuerySpec(
