@@ -255,11 +255,28 @@ def _dsum(expr, alias: str, scale: int = 2):
     ).alias(alias)
 
 
+def _cents(col: str):
+    """Exact integer 'cents' sum of a <=2-decimal column: double ->
+    DECIMAL(18,2) (unambiguous for money/quantity values) -> *100 -> BIGINT.
+    The sum is then exact integer arithmetic in both Spark and DuckDB."""
+    return F.sum((F.col(col).cast("decimal(18,2)") * 100).cast("long"))
+
+
+def _exact_avg(cents_col: str, n_col: str, out_decimals: int):
+    """round_half_up(avg, d) computed entirely in BIGINT so Spark and the
+    DuckDB oracle agree bit-for-bit.  round(a/b, d) for a positive cents
+    sum a and count b is (2*a*10^(d-2) + b) DIV (2*b), then /10^d.
+    (Decimal division is no alternative: DuckDB promotes DECIMAL/BIGINT to
+    DOUBLE, and round(double, .xx5) differs between the engines.)"""
+    m = 10 ** (out_decimals - 2)
+    q = F.expr(f"(2 * {m} * {cents_col} + {n_col}) DIV (2 * {n_col})")
+    return q.cast("double") / (10**out_decimals)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     n = F.count(F.lit(1))
-    dsum = lambda e: F.sum(e.cast("decimal(38,6)")).cast("double")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -268,10 +285,22 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("l_extendedprice"), "sum_base_price"),
             _dsum(disc, "sum_disc_price"),
             _dsum(disc * (1 + F.col("l_tax")), "sum_charge"),
-            F.round(F.sum("l_quantity") / n, 2).alias("avg_qty"),
-            F.round(dsum(F.col("l_extendedprice")) / n, 2).alias("avg_price"),
-            F.round(dsum(F.col("l_discount")) / n, 4).alias("avg_disc"),
+            _cents("l_quantity").alias("_qty_c"),
+            _cents("l_extendedprice").alias("_price_c"),
+            _cents("l_discount").alias("_disc_c"),
             n.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            _exact_avg("_qty_c", "count_order", 2).alias("avg_qty"),
+            _exact_avg("_price_c", "count_order", 2).alias("avg_price"),
+            _exact_avg("_disc_c", "count_order", 4).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -286,11 +315,12 @@ _TPCH_Q1_ORACLE = """
                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_disc_price,
            round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_charge,
-           round(sum(l_quantity) / count(*), 2) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
-                 / count(*), 2) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
-                 / count(*), 4) AS avg_disc,
+           CAST((2 * sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 100 AS avg_qty,
+           CAST((2 * sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 100 AS avg_price,
+           CAST((200 * sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000 AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -723,13 +753,19 @@ def q_conditional_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     order priority via CASE inside SUM."""
     orders = _t(spark, sf_dir, "orders")
     high = F.when(F.col("o_totalprice") > 300000, 1).otherwise(0)
-    dsum = F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
             F.sum(high).alias("high_value_orders"),
             F.sum(1 - high).alias("low_value_orders"),
-            F.round(dsum / F.count(F.lit(1)), 2).alias("avg_price"),
+            _cents("o_totalprice").alias("_price_c"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "o_orderpriority",
+            "high_value_orders",
+            "low_value_orders",
+            _exact_avg("_price_c", "_n", 2).alias("avg_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -741,8 +777,8 @@ _CONDITIONAL_AGG_ORACLE = """
              AS high_value_orders,
            sum(CASE WHEN o_totalprice > 300000 THEN 0 ELSE 1 END)
              AS low_value_orders,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-                 / count(*), 2) AS avg_price
+           CAST((2 * sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 100 AS avg_price
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
