@@ -174,11 +174,21 @@ def jaccard_verify_from_shingles(
     )
 
 
+#: default mega-bucket cap for the end-to-end pipeline: an LSH bucket with
+#: more members than this is boilerplate (empty/templated docs) whose f^2
+#: self-join would dominate the job; exact dedup handles those docs.  The
+#: DuckDB oracle CTE applies the identical cap (queries_pipeline.py).
+DEDUP_MAX_BUCKET = 10_000
+
+
 def minhash_dedup_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = DEDUP_MAX_BUCKET,
 ) -> DataFrame:
-    """End-to-end near-dup pipeline: MinHash -> LSH candidates -> exact
-    Jaccard verification.
+    """End-to-end near-dup pipeline: MinHash -> LSH candidates (mega-bucket
+    capped by default) -> exact Jaccard verification.
 
     The shingle frame and the signatures are persisted: the LSH bucket
     self-join and the verification join each consume them twice, and
@@ -188,7 +198,7 @@ def minhash_dedup_pairs(
     OOMing on a big corpus."""
     sh_docs = shingle_docs(docs, k).persist()
     sigs = signatures_from_shingles(sh_docs).persist()
-    cands = lsh_candidate_pairs(sigs)
+    cands = lsh_candidate_pairs(sigs, max_bucket_size=max_bucket_size)
     return jaccard_verify_from_shingles(sh_docs, cands, threshold)
 
 

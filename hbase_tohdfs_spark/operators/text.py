@@ -118,6 +118,11 @@ def text_stats(docs: DataFrame) -> DataFrame:
         + F.least(stop_ratio * 10, F.lit(1.0)) * 0.2,
         4,
     )
+    # Tokenizer-cost estimates ride along in the same map-side pass (the
+    # patterns go through F.lit, NOT an F.expr SQL string — the SQL parser
+    # would eat the backslash in '\s' and quietly change the regex).
+    n_ws = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0)))
     return d.select(
         "doc_id",
         "lang",
@@ -128,6 +133,8 @@ def text_stats(docs: DataFrame) -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         quality.alias("quality_score"),
+        n_ws.alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
     )
 
 

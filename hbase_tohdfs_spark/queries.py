@@ -783,22 +783,31 @@ _CONDITIONAL_AGG_ORACLE = """
 """
 
 
-def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct aggregation (count + sum distinct users' activity)."""
+def q_events_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type profile in ONE aggregation: exact distinct count
+    plus exact interpolated percentiles.  One shuffle on event_type; the
+    distinct triggers Spark's Expand, the percentiles a sort-based agg —
+    both partial-aggregated map-side first."""
     events = _events(spark, sf_dir)
     return (
         events.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
         )
         .orderBy("event_type")
     )
 
 
-_DISTINCT_USERS_ORACLE = """
+_TYPE_PROFILE_ORACLE = """
     SELECT event_type, count(DISTINCT user_id) AS n_users,
-           count(*) AS n_events
+           count(*) AS n_events,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
     FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -985,29 +994,6 @@ _RANGE_JOIN_ORACLE = """
 """
 
 
-def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation) per event type."""
-    events = _events(spark, sf_dir)
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
-        )
-        .orderBy("event_type")
-    )
-
-
-_PERCENTILES_ORACLE = """
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 4) AS p50,
-           round(quantile_cont(value, 0.9), 4) AS p90,
-           round(quantile_cont(value, 0.99), 4) AS p99
-    FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join: customers that never placed an order."""
     cust = _t(spark, sf_dir, "customer")
@@ -1024,33 +1010,30 @@ _ANTI_JOIN_ORACLE = """
 """
 
 
-def q_users_clicked_not_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference: users with clicks but no purchases (EXCEPT)."""
+def q_users_click_purchase_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators in one result: EXCEPT (clicked, never purchased) and
+    INTERSECT (clicked and purchased), tagged and unioned.  Both set ops
+    shuffle on user_id; the union itself is free (no exchange)."""
     events = _events(spark, sf_dir)
     clicked = events.filter(F.col("event_type") == "click").select("user_id")
     purchased = events.filter(F.col("event_type") == "purchase").select("user_id")
-    return clicked.subtract(purchased)  # EXCEPT (distinct) semantics
+    only = clicked.subtract(purchased)  # EXCEPT (distinct) semantics
+    both = clicked.intersect(purchased)
+    return only.withColumn("relation", F.lit("clicked_only")).unionByName(
+        both.withColumn("relation", F.lit("clicked_and_purchased"))
+    )
 
 
-_EXCEPT_ORACLE = """
-    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-    EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-"""
-
-
-def q_users_clicked_and_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set intersection: users that both clicked and purchased."""
-    events = _events(spark, sf_dir)
-    clicked = events.filter(F.col("event_type") == "click").select("user_id")
-    purchased = events.filter(F.col("event_type") == "purchase").select("user_id")
-    return clicked.intersect(purchased)
-
-
-_INTERSECT_ORACLE = """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+_SET_OPS_ORACLE = """
+    SELECT user_id, 'clicked_only' AS relation FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT user_id, 'clicked_and_purchased' AS relation FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
 """
 
 
@@ -1096,23 +1079,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "conditional_agg_priority": QuerySpec(
         q_conditional_agg_priority, _CONDITIONAL_AGG_ORACLE
     ),
-    "distinct_users_by_type": QuerySpec(
-        q_distinct_users_by_type, _DISTINCT_USERS_ORACLE
-    ),
+    "events_type_profile": QuerySpec(q_events_type_profile, _TYPE_PROFILE_ORACLE),
     "sessionize_events": QuerySpec(q_sessionize_events, _SESSIONIZE_ORACLE),
     "asof_purchase_click": QuerySpec(q_asof_purchase_click, _ASOF_ORACLE),
     "clicks_before_purchase": QuerySpec(
         q_clicks_before_purchase, _RANGE_JOIN_ORACLE
     ),
-    "value_percentiles": QuerySpec(q_value_percentiles, _PERCENTILES_ORACLE),
     "customers_without_orders": QuerySpec(
         q_customers_without_orders, _ANTI_JOIN_ORACLE
     ),
-    "users_clicked_not_purchased": QuerySpec(
-        q_users_clicked_not_purchased, _EXCEPT_ORACLE
-    ),
-    "users_clicked_and_purchased": QuerySpec(
-        q_users_clicked_and_purchased, _INTERSECT_ORACLE
+    "users_click_purchase_sets": QuerySpec(
+        q_users_click_purchase_sets, _SET_OPS_ORACLE
     ),
 }
 

@@ -81,8 +81,14 @@ def _minhash_ctes() -> str:
     sig AS (SELECT doc_id, {mh} FROM sh),
     bands AS (SELECT doc_id, {band_exprs} FROM sig),
     buckets AS ({buckets}),
+    bsize AS (SELECT band_idx, bucket, count(*) AS f FROM buckets
+              GROUP BY band_idx, bucket),
+    kept AS (SELECT bk.doc_id, bk.band_idx, bk.bucket
+             FROM buckets bk JOIN bsize bs
+               ON bk.band_idx = bs.band_idx AND bk.bucket = bs.bucket
+             WHERE bs.f <= {dedup.DEDUP_MAX_BUCKET}),
     cand AS (SELECT DISTINCT x1.doc_id AS doc_id_a, x2.doc_id AS doc_id_b
-             FROM buckets x1 JOIN buckets x2
+             FROM kept x1 JOIN kept x2
                ON x1.band_idx = x2.band_idx AND x1.bucket = x2.bucket
               AND x1.doc_id < x2.doc_id),
     shset AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),
@@ -345,12 +351,15 @@ def _text_stats_oracle() -> str:
                       round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4)
                         AS stopword_ratio
                FROM base)
-    SELECT doc_id, lang, source, n_tokens, n_chars, avg_chars_per_token,
-           punct_ratio, stopword_ratio,
-           round(least(n_tokens / 50.0, 1.0) * 0.5
-                 + (1 - least(punct_ratio * 5, 1.0)) * 0.3
-                 + least(stopword_ratio * 10, 1.0) * 0.2, 4) AS quality_score
-    FROM ratios
+    SELECT r.doc_id, r.lang, r.source, r.n_tokens, r.n_chars,
+           r.avg_chars_per_token, r.punct_ratio, r.stopword_ratio,
+           round(least(r.n_tokens / 50.0, 1.0) * 0.5
+                 + (1 - least(r.punct_ratio * 5, 1.0)) * 0.3
+                 + least(r.stopword_ratio * 10, 1.0) * 0.2, 4) AS quality_score,
+           len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> ''))
+             AS n_tokens_ws,
+           len(regexp_extract_all(d.text, '{text.BPE_RE}')) AS n_tokens_bpe
+    FROM ratios r JOIN documents d ON r.doc_id = d.doc_id
     """
 
 
@@ -379,19 +388,6 @@ def _lang_id_oracle() -> str:
     """
 
 
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.token_counts(_t(spark, sf_dir, "documents"))
-
-
-TOKEN_COUNTS_ORACLE = rf"""
-    SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-             AS n_tokens_ws,
-           len(regexp_extract_all(text, '{text.BPE_RE}')) AS n_tokens_bpe
-    FROM documents
-"""
-
-
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_t(spark, sf_dir, "documents"), k=3, window=4)
 
@@ -413,92 +409,111 @@ FINGERPRINTS_ORACLE = f"""
 
 
 # -------------------------------------------------------------- multimodal
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_media_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pipeline stages tagged + unioned at doc grain: 'decode'
+    (stubbed extract_media_features) and 'resize' (stubbed 32x32
+    resize_images).  Two Arrow-batched mapInPandas passes over the same
+    scan; the union adds no exchange."""
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.attach_blob(docs))
-
-
-MULTIMODAL_ORACLE = """
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           md5(text) AS content_md5,
-           lower(substr(hex(encode(text)), 1, 16)) AS head_hex
-    FROM documents
-"""
-
-
-def q_media_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    feats = multimodal.extract_media_features(multimodal.attach_blob(docs))
-    return feats.select(
+    blobs = multimodal.attach_blob(docs)
+    feats = multimodal.extract_media_features(blobs).select(
         "doc_id",
-        "width",
-        "height",
+        F.lit("decode").alias("stage"),
+        F.col("width").alias("src_width"),
+        F.col("height").alias("src_height"),
+        F.col("width").alias("out_width"),
+        F.col("height").alias("out_height"),
         F.col("channel_means")[0].alias("cm0"),
         F.col("channel_means")[1].alias("cm1"),
         F.col("channel_means")[2].alias("cm2"),
     )
-
-
-MEDIA_STUB_ORACLE = """
-    SELECT doc_id,
-           16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS width,
-           16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS height,
-           round(('0x' || substr(md5(text), 5, 2))::INT / 255.0, 6) AS cm0,
-           round(('0x' || substr(md5(text), 7, 2))::INT / 255.0, 6) AS cm1,
-           round(('0x' || substr(md5(text), 9, 2))::INT / 255.0, 6) AS cm2
-    FROM documents
-"""
-
-
-def q_media_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    resized = multimodal.resize_images(multimodal.attach_blob(docs), 32, 32)
-    return resized.select(
+    resized = multimodal.resize_images(blobs, 32, 32).select(
         "doc_id",
+        F.lit("resize").alias("stage"),
         "src_width",
         "src_height",
-        "width",
-        "height",
+        F.col("width").alias("out_width"),
+        F.col("height").alias("out_height"),
         F.col("channel_means")[0].alias("cm0"),
         F.col("channel_means")[1].alias("cm1"),
         F.col("channel_means")[2].alias("cm2"),
     )
+    return feats.unionByName(resized)
 
 
-MEDIA_RESIZE_ORACLE = """
+MEDIA_IMAGE_ORACLE = """
     WITH base AS (
       SELECT doc_id,
-             16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS src_width,
-             16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS src_height,
+             16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS sw,
+             16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS sh,
              round(('0x' || substr(md5(text), 5, 2))::INT / 255.0, 6) AS m0,
              round(('0x' || substr(md5(text), 7, 2))::INT / 255.0, 6) AS m1,
              round(('0x' || substr(md5(text), 9, 2))::INT / 255.0, 6) AS m2
       FROM documents)
-    SELECT doc_id, src_width, src_height, 32 AS width, 32 AS height,
-           round(least(m0 * (1024.0 / (src_width * src_height)), 1.0), 6) AS cm0,
-           round(least(m1 * (1024.0 / (src_width * src_height)), 1.0), 6) AS cm1,
-           round(least(m2 * (1024.0 / (src_width * src_height)), 1.0), 6) AS cm2
+    SELECT doc_id, 'decode' AS stage, sw AS src_width, sh AS src_height,
+           sw AS out_width, sh AS out_height,
+           m0 AS cm0, m1 AS cm1, m2 AS cm2
+    FROM base
+    UNION ALL
+    SELECT doc_id, 'resize', sw, sh, 32, 32,
+           round(least(m0 * (1024.0 / (sw * sh)), 1.0), 6),
+           round(least(m1 * (1024.0 / (sw * sh)), 1.0), 6),
+           round(least(m2 * (1024.0 / (sw * sh)), 1.0), 6)
     FROM base
 """
 
 
-def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload features (doc grain) + sampled frames (frame grain)
+    tagged + unioned with NULL-padded columns — covers attach_blob,
+    extract_features, and sample_frames in one oracle-checked result."""
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.sample_frames(multimodal.attach_blob(docs), every=4)
+    blobs = multimodal.attach_blob(docs)
+    feats = multimodal.extract_features(blobs).select(
+        "doc_id",
+        F.lit("features").alias("kind"),
+        "n_bytes",
+        "content_md5",
+        "head_hex",
+        F.lit(None).cast("int").alias("n_frames"),
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("string").alias("frame_md5"),
+    )
+    frames = multimodal.sample_frames(blobs, every=4).select(
+        "doc_id",
+        F.lit("frame").alias("kind"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("string").alias("content_md5"),
+        F.lit(None).cast("string").alias("head_hex"),
+        "n_frames",
+        "frame_idx",
+        "frame_md5",
+    )
+    return feats.unionByName(frames)
 
 
-MEDIA_FRAMES_ORACLE = """
+MULTIMODAL_PIPELINE_ORACLE = """
     WITH base AS (
       SELECT doc_id, text,
              8 + ('0x' || substr(md5(text), 11, 2))::INT % 8 AS n_frames
       FROM documents),
-    idx AS (SELECT doc_id, text, n_frames,
-                   unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
-            FROM base)
-    SELECT doc_id, n_frames, frame_idx,
+    fidx AS (SELECT doc_id, text, n_frames,
+                    unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+             FROM base)
+    SELECT doc_id, 'features' AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
+           CAST(NULL AS INTEGER) AS n_frames,
+           CAST(NULL AS INTEGER) AS frame_idx,
+           CAST(NULL AS VARCHAR) AS frame_md5
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'frame', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(n_frames AS INTEGER),
+           CAST(frame_idx AS INTEGER),
            md5(text || ':' || frame_idx) AS frame_md5
-    FROM idx
+    FROM fidx
 """
 
 
@@ -746,11 +761,12 @@ def register(registry: dict) -> None:
             "ann_ivf": QuerySpec(q_ann_ivf, ANN_IVF_ORACLE),
             "text_stats": QuerySpec(q_text_stats, _text_stats_oracle()),
             "lang_id": QuerySpec(q_lang_id, _lang_id_oracle()),
-            "token_counts": QuerySpec(q_token_counts, TOKEN_COUNTS_ORACLE),
             "doc_fingerprints": QuerySpec(q_fingerprints, FINGERPRINTS_ORACLE),
-            "multimodal_features": QuerySpec(q_multimodal_features, MULTIMODAL_ORACLE),
-            "media_features_stub": QuerySpec(q_media_features_stub, MEDIA_STUB_ORACLE),
-            "media_resize_stub": QuerySpec(q_media_resize_stub, MEDIA_RESIZE_ORACLE),
-            "media_frame_sample": QuerySpec(q_media_frame_sample, MEDIA_FRAMES_ORACLE),
+            "multimodal_pipeline": QuerySpec(
+                q_multimodal_pipeline, MULTIMODAL_PIPELINE_ORACLE
+            ),
+            "media_image_pipeline": QuerySpec(
+                q_media_image_pipeline, MEDIA_IMAGE_ORACLE
+            ),
         }
     )
