@@ -338,21 +338,35 @@ def connected_components(
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: ``(doc_id, component)``
     with component = min doc_id of the connected component.
 
     This is the step that turns pairwise similarity into dedup *groups*
-    (keep one doc per component).  Iterative min-label propagation — the
-    Pregel shape on DataFrames: each round every vertex takes the min of
-    its own label and its neighbors' labels; fixpoint after
-    O(component diameter) rounds.  Near-dup components are shallow
-    (cliques and short chains), so convergence is fast; the driver-side
-    loop carries only the converged/not-converged bit, never data.
-    Each round is one join + one aggregation, both keyed shuffles;
-    results persist per round and the previous round is unpersisted
-    (bounded lineage, no runaway plan growth).
+    (keep one doc per component).  Min-label propagation with **path
+    halving** — each round every vertex takes the min of its own and its
+    neighbors' labels (one keyed join + agg), then jumps one level down
+    the label chain (``component <- component(component)``, one more
+    keyed join).  The jump doubles the distance a min travels per round,
+    so fixpoint lands in O(log diameter) rounds instead of O(diameter)
+    — a 100-node chain converges in ~8 rounds, not 100.  The driver-side
+    loop carries only the changed-count, never data.
+
+    Lineage discipline: each round's labels are ``localCheckpoint``-ed,
+    not merely persisted.  The pointer-jump is a self-join, so an
+    un-truncated plan doubles every round (plan(n+1) ~ 2*plan(n)) and
+    Catalyst analysis goes exponential by round ~8; truncation keeps the
+    per-round plan constant-size.  The checkpoint materializes nothing
+    extra — the convergence count forces the frame each round anyway.
+
+    If the loop exhausts ``max_iter`` without converging, a
+    ``RuntimeWarning`` is raised — labels may then split one true
+    component.  Pass ``stats={}`` to receive ``{"rounds": n,
+    "converged": bool}``.
     """
+    import warnings
+
     edges = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     )
@@ -367,7 +381,9 @@ def connected_components(
         .persist()
     )
 
-    for _ in range(max_iter):
+    rounds, converged = 0, False
+    for it in range(max_iter):
+        rounds = it + 1
         neighbor_min = (
             edges.join(labels, F.col("v") == F.col("lu"))
             .groupBy(F.col("u").alias("nu"))
@@ -376,7 +392,7 @@ def connected_components(
         # The update join carries a per-vertex "did it shrink" flag, so
         # the convergence check is an aggregate over this cached frame —
         # not a third join back against the previous labels.
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
             .select(
                 "lu",
@@ -387,12 +403,52 @@ def connected_components(
             )
             .persist()
         )
+        # Path halving: component <- component(component).  Labels only
+        # ever shrink and every label IS a vertex id, so the pointer
+        # lookup is a keyed self-join that always resolves.  Skipped for
+        # the first two rounds: near-dup components are usually cliques
+        # and short chains that converge by round 2, and the jump join
+        # would be a pure extra shuffle there; from round 3 on, still
+        # being unconverged means a deep chain, where halving turns the
+        # remaining O(diameter) rounds into O(log diameter).
+        if it >= 2:
+            ptr = stepped.select(
+                F.col("lu").alias("plu"), F.col("component").alias("pcomp")
+            )
+            new_labels = stepped.join(
+                ptr, stepped.component == F.col("plu"), "left"
+            ).select(
+                "lu",
+                F.coalesce("pcomp", "component").alias("component"),
+                (
+                    F.col("chg") | (F.col("pcomp") < F.col("component"))
+                ).alias("chg"),
+            )
+        else:
+            new_labels = stepped
+        # localCheckpoint, not persist: the jump is a self-join, so an
+        # un-truncated plan doubles per round and Catalyst analysis goes
+        # exponential; eager checkpoint keeps each round's plan constant
+        # (the convergence count forces the frame anyway).
+        new_labels = new_labels.localCheckpoint()
         changed = new_labels.filter(F.col("chg")).count()
+        stepped.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels may split one true component — raise max_iter "
+            "(fixpoint needs ~log2(diameter) + 2 rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if stats is not None:
+        stats.update({"rounds": rounds, "converged": converged})
     return labels.select(F.col("lu").alias("doc_id"), "component")
 
 

@@ -72,6 +72,31 @@ def test_connected_components_chain_and_pair(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """Path halving: a 100-node chain (diameter 99) must converge in
+    ~log2(diameter) rounds, well under the default max_iter=25 that a
+    pure 1-hop propagation would silently truncate at."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_id_a: long, doc_id_b: long"
+    )
+    stats: dict = {}
+    got = dedup.connected_components(pairs, stats=stats).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == 101
+    assert stats["converged"]
+    assert stats["rounds"] <= 12
+
+
+def test_connected_components_warns_when_truncated(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_id_a: long, doc_id_b: long"
+    )
+    stats: dict = {}
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2, stats=stats)
+    assert not stats["converged"]
+
+
 def test_simhash_identical_and_different(docs):
     fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert fp[1] == fp[2]
