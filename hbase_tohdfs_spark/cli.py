@@ -92,6 +92,9 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument(
         "--query-ids", default="0,1,2,3,4", help="comma-separated vec_ids"
     )
+    s.add_argument(
+        "--dim", type=int, default=64, help="embedding dimensionality (lsh)"
+    )
 
     s = sub.add_parser("TextStats", help="per-document quality metrics")
     s.add_argument("documentsParquet")
@@ -192,7 +195,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.method == "exact":
             out = similarity.cosine_topk(emb, qids, args.k)
         elif args.method == "lsh":
-            out = similarity.lsh_topk(emb, qids, args.k)
+            out = similarity.lsh_topk(emb, qids, args.k, dim=args.dim)
         else:
             out = similarity.ivf_topk(emb, qids, args.k)
         out.write.mode("overwrite").parquet(args.outputFolder)

@@ -13,8 +13,8 @@ Two paths:
   score candidates in their bucket.  The hyperplanes are deterministic
   (md5-derived ±1 entries, precomputed driver-side, shipped as a literal
   array) so results are reproducible and the DuckDB oracle can replay
-  them.  At 100 TB you'd multi-probe neighboring buckets; single-probe
-  keeps the oracle exact.
+  them.  Multi-probe (Hamming-1 neighbor buckets) is the default — the
+  probe set is deterministic too, so the oracle replays it exactly.
 
 No Python UDFs anywhere — the inner products run inside codegen.
 """
@@ -203,24 +203,38 @@ def ivf_topk(
     )
 
 
+#: embedding dimensionality of the test corpus; callers with other dims
+#: pass ``dim=`` (or ``planes=``) explicitly — no data inspection needed.
+DEFAULT_DIM = 64
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
     planes: list[list[int]] | None = None,
+    dim: int = DEFAULT_DIM,
+    probe_hamming: int = 1,
     round_to: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates.
+    """Approximate top-k: score only candidates in probed buckets.
 
-    May return < k rows per query when its bucket is small — that's the
-    approximation trade-off surfaced honestly (multi-probe would widen
-    recall at scale).
+    Multi-probe (``probe_hamming=1``, the default) scores the query's own
+    bucket plus every bucket at Hamming distance 1 — the buckets most
+    likely to hold true neighbors that fell on the other side of one
+    hyperplane.  This closes most of the <k-rows recall hole of
+    single-probe (``probe_hamming=0``) for num_planes+1 bucket reads
+    instead of 1; corpus buckets partition the corpus, so the probed
+    candidate sets are disjoint and need no dedup.  ``dim`` sizes the
+    deterministic hyperplanes when ``planes`` is not given — a plain
+    parameter, so no driver-side data peek happens before the plan.
     """
     from pyspark.sql import Window
 
     if planes is None:
-        dim = len(embeddings.select("embedding").first()["embedding"])
         planes = hyperplane_signs(NUM_PLANES, dim)
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming must be 0 or 1")
     e = embeddings.select(
         "vec_id",
         "embedding",
@@ -233,9 +247,15 @@ def lsh_topk(
         F.col("norm").alias("qnorm"),
         F.col("bucket").alias("qbucket"),
     )
+    probe_cols = [F.col("qbucket")]
+    if probe_hamming == 1:
+        probe_cols += [
+            F.expr(f"qbucket ^ {1 << p}") for p in range(len(planes))
+        ]
+    q = q.withColumn("pbucket", F.explode(F.array(*probe_cols)))
     joined = e.join(
         F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     cos = F.round(_dot_expr("embedding", "qv") / (F.col("norm") * F.col("qnorm")), round_to)
     scored = joined.select("query_id", "vec_id", cos.alias("cosine"))

@@ -233,6 +233,10 @@ def _ann_lsh_oracle() -> str:
         + f"]) > 0 THEN (1 << {p}) ELSE 0 END)"
         for p, row in enumerate(planes)
     )
+    # Same Hamming-1 probe set as lsh_topk(probe_hamming=1).
+    probe_list = ", ".join(
+        ["qbucket"] + [f"xor(qbucket, {1 << p})" for p in range(len(planes))]
+    )
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -241,9 +245,12 @@ def _ann_lsh_oracle() -> str:
     eb AS (SELECT vec_id, v, norm, {bucket_terms} AS bucket FROM e),
     q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm, bucket AS qbucket
           FROM eb WHERE vec_id < {len(ANN_QUERY_IDS)}),
+    probes AS (SELECT query_id, qv, qnorm,
+                      unnest([{probe_list}]) AS pbucket
+               FROM q),
     scored AS (SELECT query_id, vec_id,
                       round(list_dot_product(v, qv) / (norm * qnorm), 6) AS cosine
-               FROM eb JOIN q ON bucket = qbucket AND vec_id <> query_id),
+               FROM eb JOIN probes ON bucket = pbucket AND vec_id <> query_id),
     ranked AS (SELECT query_id, vec_id, cosine,
                       row_number() OVER (PARTITION BY query_id
                                          ORDER BY cosine DESC, vec_id) AS rank

@@ -208,6 +208,27 @@ def test_lsh_topk_subset_of_bruteforce(spark, sf_dir):
         assert -1.0 <= r["cosine"] <= 1.0
 
 
+def test_lsh_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Hamming-1 multi-probe scores a strict superset of the single-probe
+    candidates, so its overlap with the exact top-k can only grow."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, qids, k=5).collect()
+    }
+
+    def hits(probe):
+        got = similarity.lsh_topk(emb, qids, k=5, probe_hamming=probe).collect()
+        return {(r["query_id"], r["vec_id"]) for r in got}
+
+    single, multi = hits(0), hits(1)
+    assert len(multi & exact) >= len(single & exact)
+    # multi-probe candidate pool includes the whole single-probe bucket,
+    # so every single-probe top hit that survives ranking stays ranked
+    assert len(multi) >= len(single)
+
+
 def test_lang_markers_drive_prediction(spark):
     rows = [
         (1, "the cat and the dog is in that house", "en", "s", 1),
