@@ -12,8 +12,10 @@ with zigzag-varint primitives.
 Supported schema subset — exactly what the engine's export schemas can
 declare (model.py): top-level record of null / boolean / int / long /
 float / double / bytes / string fields, including ``[null, T]`` unions.
-Codecs: ``null`` and ``deflate`` (zlib raw).  Snappy requires
-python-snappy, absent here; requesting it raises with a clear message.
+Codecs: ``null``, ``deflate`` (zlib raw), and — when python-snappy is
+importable — ``snappy`` (block codec + 4-byte big-endian CRC32 of the
+uncompressed data, per the spec).  Requesting snappy without the
+library raises with a clear message.
 
 Files written by this codec are readable by any conformant Avro reader
 (verified against the spec's reference vectors in tests).  On a real
@@ -29,6 +31,13 @@ import json
 import struct
 import zlib
 from collections.abc import Iterable, Iterator
+
+try:  # optional dependency: enables the Avro 'snappy' block codec
+    import snappy as _snappy  # type: ignore[import-not-found]
+except ImportError:
+    _snappy = None
+
+HAVE_SNAPPY = _snappy is not None
 
 MAGIC = b"Obj\x01"
 
@@ -179,12 +188,12 @@ def write_container(
     block_records: int = 4096,
 ) -> int:
     """Write records to an Avro container file; returns record count."""
-    if codec == "snappy":
+    if codec == "snappy" and _snappy is None:
         raise ValueError(
             "snappy codec needs python-snappy (unavailable here); "
             "use 'deflate' (the Avro name for gzip/zlib) or 'null'"
         )
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported Avro codec: {codec}")
     schema = _normalize(schema_json)
     sync = _sync_marker(path)
@@ -215,6 +224,11 @@ def write_container(
             data = body.getvalue()
             if codec == "deflate":
                 data = zlib.compress(data)[2:-4]  # raw deflate per spec
+            elif codec == "snappy":
+                # spec: snappy block then 4-byte big-endian CRC32 of the
+                # UNCOMPRESSED data
+                crc = zlib.crc32(data) & 0xFFFFFFFF
+                data = _snappy.compress(data) + struct.pack(">I", crc)
             blk = io.BytesIO()
             write_long(blk, len(batch))
             write_bytes(blk, data)
@@ -270,6 +284,15 @@ def read_container(path_or_bytes) -> Iterator[dict]:
                 raise ValueError("sync marker mismatch (corrupt file)")
             if codec == "deflate":
                 data = zlib.decompress(data, -15)
+            elif codec == "snappy":
+                if _snappy is None:
+                    raise ValueError(
+                        "file uses the snappy codec; python-snappy required"
+                    )
+                crc = int.from_bytes(data[-4:], "big")
+                data = _snappy.decompress(data[:-4])
+                if zlib.crc32(data) & 0xFFFFFFFF != crc:
+                    raise ValueError("snappy block CRC mismatch (corrupt file)")
             elif codec != "null":
                 raise ValueError(f"unsupported codec in file: {codec}")
             body = io.BytesIO(data)

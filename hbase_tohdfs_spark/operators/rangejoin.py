@@ -37,16 +37,27 @@ def range_join(
         raise ValueError("upper must exceed lower")
     lo = F.col(left_ts) + F.lit(lower)
     hi = F.col(left_ts) + F.lit(upper)
-    # floor-division buckets (not trunc): consistent for negative values
+
+    # Exact integer floor division for bucket ids (pmod keeps floor
+    # semantics for negatives).  F.floor(x / width) would divide in
+    # DOUBLE: above 2^53 ts magnitude the rounded quotient can cross an
+    # integer boundary, silently assigning a row to the wrong bucket
+    # and dropping matching pairs.
+    def _bucket(sql: str) -> Column:
+        return F.expr(f"(({sql}) - pmod({sql}, {width})) DIV {width}")
+
     l_exp = left.withColumn(
         "_bucket",
         F.explode(
             F.array_distinct(
-                F.array(F.floor(lo / width), F.floor(hi / width))
+                F.array(
+                    _bucket(f"{left_ts} + {lower}"),
+                    _bucket(f"{left_ts} + {upper}"),
+                )
             )
         ),
     )
-    r_b = right.withColumn("_bucket", F.floor(F.col(right_ts) / width))
+    r_b = right.withColumn("_bucket", _bucket(right_ts))
     joined = l_exp.join(r_b, [on, "_bucket"]).filter(
         (F.col(right_ts) >= lo) & (F.col(right_ts) <= hi)
     )

@@ -53,7 +53,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejects; read it as long nanos (legacy conf, runtime-settable) and
     rebuild a microsecond TimestampType column — matching DuckDB's
     TIMESTAMP_NS -> epoch_us truncation."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from hbase_tohdfs_spark.session import ensure_nanos_as_long
+
+    ensure_nanos_as_long(spark)
     df = _t(spark, sf_dir, "events")
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 

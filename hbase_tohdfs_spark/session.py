@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS); read as long nanos
+        # (sessions not built here get this via ensure_nanos_as_long)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
@@ -49,3 +52,15 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Idempotently enable the runtime-settable legacy conf that lets the
+    parquet reader accept TIMESTAMP(NANOS) columns as long nanos.
+
+    ``get_spark`` sets this at build time; this helper exists for
+    externally-created sessions (the correctness driver's, notebooks)
+    so query builders don't scatter raw ``spark.conf.set`` calls."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")

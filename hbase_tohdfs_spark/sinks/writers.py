@@ -12,6 +12,8 @@ the tasks themselves (never collected to the driver).
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -82,11 +84,19 @@ def write_avro(
     on the classpath this function would be `df.write.format("avro")`.
 
     Codec mapping mirrors the reference args: ``gzip`` -> Avro
-    ``deflate``, ``none``/other -> ``null``; ``snappy`` raises (no
-    python-snappy here) with a clear message.
+    ``deflate``, ``none``/other -> ``null``; ``snappy`` works when
+    python-snappy is importable (``ExportHBaseTableToAvro.java:99-105``
+    parity) and raises a clear plan-time error otherwise.
+
+    Overwrite + commit protocol (what a Hadoop committer would do):
+    the output directory is cleared driver-side before the job — a
+    re-export can never mix old part files with new ones — and each
+    task writes to an attempt-unique temp name and renames only on
+    success, so a failed/retried/speculative attempt never leaves a
+    half-written ``part-*.avro``.  ``_SUCCESS`` is dropped last.
     """
     codec = {"gzip": "deflate", "none": "null"}.get(codec.lower(), codec.lower())
-    if codec == "snappy":
+    if codec == "snappy" and not avrolite.HAVE_SNAPPY:
         # Surface avrolite's explanatory error at plan time, not in tasks.
         raise ValueError(
             "snappy Avro codec unavailable (needs python-snappy); use gzip/none"
@@ -98,22 +108,30 @@ def write_avro(
         if schema is not None and schema.avro_json is not None
         else struct_to_avro_json(struct, record_name)
     )
-    os.makedirs(path, exist_ok=True)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
     frame = typed.select(*data_cols)
 
     def _write_part(idx: int, rows):
-        part = os.path.join(path, f"part-{idx:05d}.avro")
+        final = os.path.join(path, f"part-{idx:05d}.avro")
+        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
         n = avrolite.write_container(
-            part, avro_json, (row.asDict() for row in rows), codec=codec
+            tmp, avro_json, (row.asDict() for row in rows), codec=codec
         )
         if n == 0:
-            os.remove(part)  # match MR behavior: no empty part files kept
+            os.remove(tmp)  # match MR behavior: no empty part files kept
             return
+        os.replace(tmp, final)  # atomic publish; last successful attempt wins
         yield (idx, n)
 
     # Materialize: the mapPartitions write happens task-side; count() just
     # forces execution and returns per-part record counts to the driver.
     frame.rdd.mapPartitionsWithIndex(_write_part).count()
+    # Sweep any temp leftovers from failed attempts, then commit.
+    for name in os.listdir(path):
+        if ".tmp-" in name:
+            os.remove(os.path.join(path, name))
     # _SUCCESS marker for parity with Hadoop committers.
     open(os.path.join(path, "_SUCCESS"), "w").close()
 

@@ -44,7 +44,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Explicit schema (required by readStream) with ts as long nanos —
     same nanosAsLong handling as the batch reader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from hbase_tohdfs_spark.session import ensure_nanos_as_long
+
+    ensure_nanos_as_long(spark)
     # FileStreamSource needs a directory; narrow it to the events table
     # with a glob filter.
     raw = (

@@ -68,6 +68,37 @@ def test_block_splitting(tmp_path):
     assert list(avrolite.read_container(path)) == recs
 
 
-def test_snappy_rejected():
+@pytest.mark.skipif(avrolite.HAVE_SNAPPY, reason="python-snappy installed")
+def test_snappy_rejected_without_lib():
     with pytest.raises(ValueError, match="snappy"):
         avrolite.write_container("/tmp/x.avro", SCHEMA, [], codec="snappy")
+
+
+@pytest.mark.skipif(not avrolite.HAVE_SNAPPY, reason="python-snappy absent")
+def test_snappy_roundtrip(tmp_path):
+    path = str(tmp_path / "s.avro")
+    n = avrolite.write_container(path, SCHEMA, RECORDS, codec="snappy")
+    assert n == len(RECORDS)
+    assert list(avrolite.read_container(path)) == RECORDS
+
+
+def test_write_avro_overwrite_leaves_no_stale_parts(spark, tmp_path):
+    """Re-exporting into an existing folder must not mix part files from
+    the previous (more-partitioned) run with the new ones."""
+    import os
+
+    from hbase_tohdfs_spark.sinks import writers
+
+    out = str(tmp_path / "avro_out")
+    big = spark.range(0, 100, 1, 8).selectExpr("id AS l")
+    writers.write_avro(big, out)
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 8
+
+    small = spark.range(100, 103, 1, 1).selectExpr("id AS l")
+    writers.write_avro(small, out)
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".avro"))
+    assert len(parts) == 1
+    got = [r["l"] for r in avrolite.read_container(os.path.join(out, parts[0]))]
+    assert got == [100, 101, 102]
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [f for f in os.listdir(out) if ".tmp-" in f]

@@ -361,6 +361,27 @@ def test_range_join_crosses_bucket_boundary(spark):
     assert got == [49, 99, 100, 149]
 
 
+def test_range_join_exact_buckets_beyond_double_precision(spark):
+    """Bucket ids must come from integer floor division: at ts > 2^53 a
+    DOUBLE quotient rounds, crossing an integer boundary and silently
+    dropping matching pairs."""
+    from hbase_tohdfs_spark.operators.rangejoin import range_join
+
+    base = (1 << 60) + 1  # not representable in double (rounds away)
+    left = spark.createDataFrame([("a", base)], "k: string, lts: long")
+    right = spark.createDataFrame(
+        [("a", base - 3), ("a", base), ("a", base + 3), ("a", base + 8)],
+        "k: string, rts: long",
+    )
+    got = sorted(
+        r["rts"] - base
+        for r in range_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", lower=-5, upper=5
+        ).collect()
+    )
+    assert got == [-3, 0, 3]
+
+
 def test_audio_stub_raises():
     with pytest.raises(NotImplementedError, match="torchaudio|ffmpeg"):
         multimodal.decode_audio_stub(b"RIFF....")
