@@ -1,0 +1,140 @@
+"""End-to-end CLI golden test: the reference README walkthrough
+(`/root/reference/README.md:9-31`) driven through ``cli.main`` —
+create -> populate -> all four exports (gzip text with rowKeyColumn,
+snappy seq, gzip avro, snappy parquet with rowKeyColumn) -> read back
+via both readers — with cross-sink golden comparison: every sink must
+contain the same logical rows.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+
+import pytest
+
+from hbase_tohdfs_spark import cli
+from hbase_tohdfs_spark.formats import avrolite
+
+COLS = ["C1", "C3", "C4", "C5", "C6", "C7", "C8"]
+
+AVRO_SCHEMA = (
+    '{"namespace": "example.avro", "type": "record", "name": "Test", "fields": ['
+    + ", ".join(f'{{"name": "{c}", "type": "string"}}' for c in COLS)
+    + "]}"
+)
+
+MAPPERS, RECORDS = 4, 250  # 1000 rows total
+
+
+@pytest.fixture(scope="module")
+def walkthrough(spark, tmp_path_factory):
+    """Run the full walkthrough once; tests assert on its outputs."""
+    root = tmp_path_factory.mktemp("cli_e2e")
+    (root / "schema.csv").write_text(",".join(COLS) + "\n")
+    (root / "schema.avsc").write_text(AVRO_SCHEMA)
+    tbl = str(root / "kvtable")
+
+    def run(*args) -> int:
+        return cli.main([str(a) for a in args], spark=spark)
+
+    assert run("CreateTable", tbl, "c", 4) == 0
+    assert run(
+        "PopulateTable", MAPPERS, RECORDS, root / "gen", tbl, "c", "run1"
+    ) == 0
+    assert run(
+        "ExportHBaseTableToDelimiteredTxt", tbl, "c", root / "out_txt",
+        "true", root / "schema.csv", "|", "C1",
+    ) == 0
+    assert run(
+        "ExportHBaseTableToDelimiteredSeq", tbl, "c", root / "out_seq",
+        "snappy", root / "schema.csv", "|",
+    ) == 0
+    assert run(
+        "ExportHBaseTableToAvro", tbl, "c", root / "out_avro",
+        "gzip", root / "schema.avsc",
+    ) == 0
+    assert run(
+        "ExportHBaseTableToParquet", tbl, "c", root / "out_parquet",
+        "snappy", root / "schema.avsc", "C1",
+    ) == 0
+    return root
+
+
+def _txt_lines(folder) -> list[str]:
+    lines: list[str] = []
+    for part in sorted(glob.glob(f"{folder}/part-*.gz")):
+        with gzip.open(part, "rt") as fh:
+            lines += [ln.rstrip("\n") for ln in fh]
+    return lines
+
+
+def test_txt_export_golden(walkthrough):
+    lines = _txt_lines(walkthrough / "out_txt")
+    assert len(lines) == MAPPERS * RECORDS  # one line per row key
+    for ln in lines[:5]:
+        assert len(ln.split("|")) == len(COLS)
+    # Golden shape of PopulateTable's counters: the per-task cell counter
+    # restarts every task (PopulateTable.java:132 semantics), so each of
+    # the RECORDS distinct lines appears exactly MAPPERS times.
+    from collections import Counter
+
+    freq = Counter(lines)
+    assert len(freq) == RECORDS
+    assert set(freq.values()) == {MAPPERS}
+    # Record 0's golden line: cell j of record i has counter i*10+j
+    golden0 = "|".join(f"counter:{c[1:]}" for c in COLS)
+    assert freq[golden0] == MAPPERS
+
+
+def test_seq_matches_txt_lines(spark, walkthrough):
+    """The seq sink renders the same delimited lines as the text sink
+    (modulo the rowKeyColumn flag, which only rewrites C1)."""
+    from hbase_tohdfs_spark.sinks.writers import read_sequencefile_lines
+
+    seq = sorted(
+        r["line"]
+        for r in read_sequencefile_lines(
+            spark, str(walkthrough / "out_seq")
+        ).collect()
+    )
+    txt = sorted(_txt_lines(walkthrough / "out_txt"))
+    # rowKeyColumn=C1 on the txt run only back-fills MISSING C1 cells and
+    # every generated row has one, so the two sinks render identical lines
+    assert seq == txt
+
+
+def test_avro_parquet_cross_sink_golden(spark, walkthrough):
+    avro_rows = []
+    for part in sorted(glob.glob(f"{walkthrough}/out_avro/part-*.avro")):
+        avro_rows += list(avrolite.read_container(part))
+    pq = spark.read.parquet(str(walkthrough / "out_parquet"))
+    assert sorted(pq.columns) == sorted(COLS)
+    pq_rows = [r.asDict() for r in pq.collect()]
+    assert len(avro_rows) == len(pq_rows) == MAPPERS * RECORDS
+    key = lambda d: tuple(d[c] for c in COLS)  # noqa: E731
+    assert sorted(map(key, avro_rows)) == sorted(map(key, pq_rows))
+
+
+def test_readers_print_schema_and_records(spark, walkthrough, capsys):
+    assert cli.main(
+        ["AvroReader", str(walkthrough / "out_avro"),
+         str(walkthrough / "schema.avsc"), "3"],
+        spark=spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "struct<" + ",".join(f"{c}:string" for c in COLS) + ">" in out
+    assert out.count("{'C1':") == 3
+
+    assert cli.main(
+        ["ParquetReader", str(walkthrough / "out_parquet"), "2"], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert out.count("{'C1':") == 2
+
+
+def test_arity_validation_rejects_missing_args(spark):
+    # reference bug B5 class: wrong arg counts must fail loudly
+    with pytest.raises(SystemExit) as ex:
+        cli.main(["ExportHBaseTableToAvro", "onlytable"], spark=spark)
+    assert ex.value.code != 0
