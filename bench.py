@@ -56,17 +56,44 @@ def main() -> None:
             best = el if best is None else min(best, el)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    _append_history(result)
+
+
+def _append_history(result: dict) -> None:
+    """Append this run to BENCH_HISTORY.jsonl (per-query timings + git
+    SHA + wall time) so round-over-round regressions are mechanically
+    diffable; best-effort — never fails the bench."""
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip()
+        line = dict(
+            result,
+            git_sha=sha or None,
+            n_runs=2,
+            ts=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         )
-    )
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+        )
+        with open(path, "a") as fh:
+            fh.write(json.dumps(line) + "\n")
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
