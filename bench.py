@@ -31,12 +31,28 @@ BENCH_QUERIES = [
 ]
 
 
+#: Restart the SparkSession after this many queries.  A long-lived local
+#: session "ages": accumulated broadcast blocks, shuffle state, and GC
+#: pressure from 80+ prior jobs inflate late-query timings 2-5x over
+#: their fresh-session steady state (measured: dedup_embedding 11.2s as
+#: query #40 of a 50-query session vs 1.9s fresh, identical plan).
+#: Periodic restarts keep every measurement a plan measurement; the
+#: ~6s restart cost is wall-clock only, never part of a recorded timing.
+SESSION_RESTART_EVERY = 12
+
+
+def _fresh_session():
+    spark = get_spark(app_name="bench")
+    # Warm up JVM codegen so the first query measures the plan
+    # (min-of-2 absorbs Python-worker spin-up and page-cache effects).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    return spark
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
-    # Warm up the JVM / codegen once so per-query times measure the plan.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    spark = _fresh_session()
 
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
     extra = [n for n in REGISTRY if n not in BENCH_QUERIES]
@@ -44,7 +60,10 @@ def main() -> None:
     # Min of two runs per query: the first pass absorbs one-off costs
     # (Python-worker spin-up, codegen, page cache) and scheduler noise,
     # the min reports steady-state engine time.
-    for name in names + extra:
+    for qi, name in enumerate(names + extra):
+        if qi and qi % SESSION_RESTART_EVERY == 0:
+            spark.stop()
+            spark = _fresh_session()
         fn = REGISTRY[name].fn
         best = None
         for _ in range(2):

@@ -212,46 +212,130 @@ def ngram_jaccard_pairs(
     k: int = 2,
     threshold: float = 0.5,
     max_df: int = NGRAM_MAX_DF,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact all-pairs word-k-gram Jaccard via an inverted-index join
-    (the set-similarity-join family: Chaudhuri et al. '06 / PPJoin).
+    """Exact all-pairs word-k-gram Jaccard — the set-similarity-join
+    family (SSJoin, Chaudhuri et al. ICDE'06; PPJoin, Xiao et al.
+    WWW'08), with both classic prunings:
 
-    Unlike MinHash (probabilistic candidates, then verify) this computes
-    the exact intersection size from the index itself: explode distinct
-    shingles, self-join postings on the shingle, count hits per pair —
-    |A ∩ B| — then Jaccard from per-doc set sizes.  One skew hazard: a
-    shingle occurring in f docs contributes f^2 join rows, so postings
-    with document frequency > ``max_df`` are dropped (they are
-    boilerplate; a pair made *only* of such shingles can't clear a
-    meaningful threshold).  At 100 TB you would add the PPJoin prefix
-    filter; the df cap is the 80% version with a one-line oracle.
+    * **df cap** (``max_df``): a shingle occurring in f docs contributes
+      f^2 index-join rows; postings with document frequency > max_df are
+      dropped (boilerplate — a pair made only of such shingles can't
+      clear a meaningful threshold).  This *defines* the operator's
+      semantics: Jaccard = |A∩B∩rare| / (|A|+|B|−|A∩B∩rare|), mirrored
+      exactly in the DuckDB oracle.
+    * **prefix filter** (``prefix_filter=True``): sort each doc's rare
+      shingles by a global (df ASC, shingle) order — rarest first — and
+      index only the first ``n_rare − ceil(t·n_full) + 1``.  Any pair
+      with Jaccard ≥ t has |A∩B∩rare| ≥ t·max(|A|,|B|) (from
+      i ≥ t·(|A|+|B|−i) and i ≤ min), and the prefix-filter theorem
+      then guarantees the two prefixes share a shingle, so joining
+      prefixes loses no pair.  Candidates are verified *exactly* with
+      ``array_intersect`` on the full rare sets — output is identical
+      to the unfiltered index join, but the quadratic self-join runs on
+      ~(1−t) of the postings (candidate volume scales by ~(1−t)^2, and
+      the rarest-first order makes surviving postings the low-df ones).
+
+    Both paths are pure JVM codegen; shuffles are keyed on shingle /
+    doc_id.  ``prefix_filter=False`` keeps the plain inverted-index
+    count (used by tests to assert the two plans agree row-for-row).
     """
     sh_docs = shingle_docs(docs, k).persist()
     sets = sh_docs.filter(F.size("sh") > 0).select(
         "doc_id", F.array_distinct("sh").alias("shset")
     )
     sizes = sets.select("doc_id", F.size("shset").alias("n_sh"))
-    postings = sets.select("doc_id", F.explode("shset").alias("s"))
-    rare = postings.groupBy("s").count().filter(F.col("count") <= max_df)
-    postings = postings.join(rare.select("s"), "s")
-    a, b = postings.alias("a"), postings.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Postings carry the doc's FULL distinct-shingle count so the prefix
+    # length needs no extra join back to `sizes`.
+    postings = sets.select(
+        "doc_id", F.size("shset").alias("n_full"), F.explode("shset").alias("s")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+    dfc = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    postings = postings.join(dfc.filter(F.col("df") <= max_df), "s")
+
     jac = F.round(
         F.col("n_common").cast("double")
         / F.greatest(F.col("na") + F.col("nb") - F.col("n_common"), F.lit(1)),
         4,
     )
+
+    if not prefix_filter:
+        a, b = postings.alias("a"), postings.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+        return (
+            inter.join(sa, "doc_id_a")
+            .join(sb, "doc_id_b")
+            .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    # --- PPJoin path ---------------------------------------------------
+    # Rank each doc's rare shingles rarest-first; one shuffle on doc_id
+    # shared by both window functions.
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = postings.select(
+        "doc_id",
+        "n_full",
+        "s",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_rare"),
+    )
+    # Prefix length L = n_rare − ceil(t·n_full) + 1.  L ≤ 0 means even a
+    # full rare-set overlap can't reach the threshold — doc drops out.
+    # The 1e-9 guards the exact-integer boundary: if t·n floats a hair
+    # high, ceil would shorten the prefix by one and could drop a true
+    # pair; erring longer only adds candidates.
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("n_rare")
+        - F.ceil(F.lit(threshold) * F.col("n_full") - F.lit(1e-9))
+        + 1
+    ).select("doc_id", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    # Exact verification on the full rare sets (sorted arrays, one row
+    # per doc; candidates are few, so shipping the arrays is cheap).
+    rare_sets = postings.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("rset"),
+        F.first("n_full").alias("n_full"),
+    )
+    ra = rare_sets.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("rset").alias("rset_a"),
+        F.col("n_full").alias("na"),
+    )
+    rb = rare_sets.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("rset").alias("rset_b"),
+        F.col("n_full").alias("nb"),
+    )
     return (
-        inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
+        cand.join(ra, "doc_id_a")
+        .join(rb, "doc_id_b")
+        .withColumn("n_common", F.size(F.array_intersect("rset_a", "rset_b")))
         .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -123,6 +123,29 @@ def test_ngram_jaccard_exact_and_near(docs):
     assert not any(4 in p or 5 in p for p in found)  # unrelated / too short
 
 
+def test_ngram_jaccard_ppjoin_matches_plain_index(spark):
+    """Prefix-filtered (PPJoin) path must agree row-for-row with the
+    plain inverted-index join at several thresholds, including docs with
+    heavy shingle overlap, disjoint docs, and near-threshold pairs."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox leaps over a sleepy dog"),
+        (4, "completely unrelated text about spark plans here"),
+        (5, "another unrelated document mentioning spark plans too"),
+        (6, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (7, "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        fast = dedup.ngram_jaccard_pairs(docs, k=2, threshold=t, prefix_filter=True)
+        plain = dedup.ngram_jaccard_pairs(docs, k=2, threshold=t, prefix_filter=False)
+        got_f = sorted(map(tuple, fast.collect()))
+        got_p = sorted(map(tuple, plain.collect()))
+        assert got_f == got_p, f"threshold={t}: {got_f} != {got_p}"
+        assert got_f  # sanity: some pair survives at every tested threshold
+
+
 def test_embedding_dup_pairs_blocked_matches_naive(spark):
     import itertools
     import math
