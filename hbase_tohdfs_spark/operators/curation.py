@@ -1,0 +1,221 @@
+"""Corpus-curation operators for a training-data pipeline, over `documents`.
+
+The four steps every large pretraining corpus goes through between "raw
+documents" and "training batches":
+
+* :func:`assign_splits` — deterministic, leakage-safe train/val/test
+  assignment (hash the *group*, not the row, so near-identical docs from
+  one source can never straddle a split boundary).
+* :func:`pack_sequences` — concat-and-chunk sequence packing: lay the
+  corpus out into fixed token-budget training sequences.
+* :func:`contamination_report` — benchmark decontamination: flag training
+  docs that share too many k-grams with a held-out eval set.
+* :func:`passage_dedup` — exact passage-level dedup (Lee et al.,
+  "Deduplicating Training Data Makes Language Models Better", ACL'22,
+  adapted to fixed token-chunk granularity): drop repeated chunks
+  corpus-wide, keeping the first occurrence.
+
+Everything is JVM-side ``pyspark.sql.functions`` — no Python in any hot
+path — and every formula is ANSI-SQL-expressible (md5 bucketing, regex
+tokenization) so the DuckDB oracle replays it exactly (see
+``queries_pipeline.py``).
+
+Scale notes (100 TB posture) are on each operator; none of them does an
+all-pairs join or a driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_tohdfs_spark.operators.text import shingle_docs, with_tokens
+
+#: md5-derived bucket in [0, 100) — the same idiom the stratified sampler
+#: uses; DuckDB computes the identical value via
+#: ('0x' || substr(md5(x), 1, 15))::BIGINT % 100.
+def _bucket100(col_sql: str) -> F.Column:
+    return F.expr(
+        f"cast(conv(substr(md5({col_sql}), 1, 15), 16, 10) as bigint) % 100"
+    )
+
+
+def assign_splits(
+    docs: DataFrame,
+    group_col: str = "source",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment, hashed at *group* level.
+
+    Hashing the row id leaks: near-duplicate documents from one crawl
+    source land on both sides of the train/eval boundary and the eval
+    loss silently measures memorization.  Hashing ``group_col`` (source,
+    domain, url-host, ...) keeps every document of a group in one split.
+    The assignment is a pure map-side expression — zero shuffle, scales
+    linearly, reproducible run-to-run and engine-to-engine (md5, not a
+    seeded PRNG).
+    """
+    bucket = _bucket100(f"cast({group_col} as string)")
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        "doc_id", F.col(group_col).alias("grp"), split.alias("split")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    n_streams: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a slot in
+    a fixed ``budget``-token training sequence.
+
+    The GPT-style packing layout: concatenate documents back to back and
+    cut every ``budget`` tokens.  A single global concatenation order
+    would serialize the window scan, so the corpus is first split into
+    ``n_streams`` md5-hash streams (deterministic, engine-replayable) and
+    packed independently per stream — the window function shuffles once
+    on ``stream`` and is partition-local afterwards.  At cluster scale
+    ``n_streams`` is set ≫ executor count; each stream's running sum is
+    an O(stream length) scan.
+
+    Returns one row per document: its stream, the sequence index within
+    the stream where it *starts*, the token offset inside that sequence,
+    and whether it crosses into the next sequence (i.e. is split across
+    training examples).
+    """
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    d = docs.select(
+        "doc_id",
+        (_bucket100("cast(doc_id as string)") % n_streams).alias("stream"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    d = d.withColumn("start", start)
+    return d.select(
+        "doc_id",
+        "stream",
+        "n_tokens",
+        F.floor(F.col("start") / budget).cast("long").alias("seq_id"),
+        (F.col("start") % budget).cast("long").alias("start_off"),
+        ((F.col("start") % budget) + F.col("n_tokens") > budget).alias(
+            "crosses_boundary"
+        ),
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_pct: int = 4,
+    k: int = 2,
+    min_common: int = 3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, find the
+    held-out eval document it shares the most word-``k``-grams with, and
+    report pairs at or above ``min_common`` shared shingles.
+
+    The eval set is the md5 bucket ``doc_id % 100 < eval_pct`` (stands in
+    for an external benchmark table; swap the filter for a real eval
+    corpus).  Matching is an inverted-index join on distinct shingles —
+    the same keyed, never-all-pairs shape as the n-gram Jaccard dedup —
+    with the standard document-frequency cap on boilerplate shingles
+    (a shingle in f docs contributes f_train·f_eval join rows; df >
+    ``max_df`` postings are dropped).  One shuffle on shingle, one on the
+    (train, eval) pair, one window top-1 per train doc.
+    """
+    # Persist both the tokenized postings and the df-capped frame: the
+    # train and eval sides are different filters of the same frame, so
+    # without the cache Spark re-runs the tokenize + df-join chain once
+    # per side (self-join branches share no subplan unless identical).
+    sh = shingle_docs(docs, k).persist()
+    postings = (
+        sh.filter(F.size("sh") > 0)
+        .select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
+    )
+    dfc = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    postings = postings.join(
+        dfc.filter(F.col("df") <= max_df).select("s"), "s"
+    ).persist()
+    is_eval = _bucket100("cast(doc_id as string)") < eval_pct
+    train = postings.filter(~is_eval).select(
+        F.col("doc_id").alias("doc_id"), "s"
+    )
+    ev = postings.filter(is_eval).select(F.col("doc_id").alias("eval_doc_id"), "s")
+    common = (
+        train.join(ev, "s")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_common").desc(), F.col("eval_doc_id")
+    )
+    return (
+        common.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "eval_doc_id", "n_common")
+    )
+
+
+def passage_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
+    """Exact passage-level dedup: split every document into consecutive
+    ``chunk_tokens``-token chunks and drop every repeat of a chunk
+    corpus-wide, keeping only its first occurrence (ordered by
+    ``(doc_id, position)``).
+
+    This is the suffix-array exact-substring dedup of Lee et al. (ACL'22)
+    relaxed to fixed chunk boundaries: boilerplate passages repeated
+    across documents (headers, license blocks, templated text) are
+    removed everywhere but their first appearance, which both shrinks the
+    corpus and stops the model from over-weighting them.  Per document it
+    returns the chunk counts and the deduplicated text.
+
+    Scale: chunking is a generator (no shuffle; ``posexplode_outer`` is
+    deliberate — plain posexplode triggers the InferFiltersFromGenerate
+    + pushdown serial-recompute trap), the first-occurrence choice is one
+    window shuffle keyed on the chunk text, and the reassembly is one
+    aggregation keyed on ``doc_id``.  Nothing is quadratic; the chunk-key
+    shuffle is the corpus itself, once.
+    """
+    c = chunk_tokens
+    chunks_expr = F.expr(
+        f"CASE WHEN size(tokens) > 0 THEN"
+        f" transform(sequence(0, cast(ceil(size(tokens) / {c}.0) as int) - 1),"
+        f" i -> concat_ws(' ', slice(tokens, i * {c} + 1, {c})))"
+        f" ELSE array() END"
+    )
+    d = with_tokens(docs).select("doc_id", chunks_expr.alias("chunks"))
+    ch = d.select(
+        "doc_id", F.posexplode_outer("chunks").alias("pos", "chunk")
+    ).filter(F.col("chunk").isNotNull())
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    ch = ch.withColumn("kept", F.row_number().over(w) == 1)
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("kept"), F.struct("pos", "chunk"))
+                )
+            ),
+            lambda x: x.chunk,
+        ),
+        " ",
+    )
+    return ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        # count(when), not sum(int): DuckDB's sum(INTEGER) widens to
+        # HUGEINT and the oracle schema would drift.
+        F.count(F.when(F.col("kept"), F.lit(1))).alias("n_kept"),
+        kept_text.alias("dedup_text"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hbase_tohdfs_spark.operators import dedup, multimodal, similarity, text
+from hbase_tohdfs_spark.operators import curation, dedup, multimodal, similarity, text
 from hbase_tohdfs_spark.operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
@@ -725,6 +725,106 @@ TFIDF_TOP_TERMS_ORACLE = f"""
 """
 
 
+# ------------------------------------------------------------ curation
+def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.assign_splits(_t(spark, sf_dir, "documents"))
+
+
+ASSIGN_SPLITS_ORACLE = """
+    SELECT doc_id, source AS grp,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+                 ('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 AS b
+          FROM documents)
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+PACK_SEQUENCES_ORACLE = """
+    WITH base AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 % 32 AS stream,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents),
+    st AS (
+      SELECT doc_id, stream, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM base)
+    SELECT doc_id, stream, n_tokens,
+           CAST(floor(s / 512) AS BIGINT) AS seq_id,
+           CAST(s % 512 AS BIGINT) AS start_off,
+           (s % 512) + n_tokens > 512 AS crosses_boundary
+    FROM st
+"""
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.contamination_report(_t(spark, sf_dir, "documents"))
+
+
+CONTAMINATION_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    {_SH2_CTE},
+    post AS (SELECT DISTINCT doc_id, s
+             FROM (SELECT doc_id, unnest(list_distinct(s)) AS s FROM sh2)),
+    dfc AS (SELECT s, count(*) AS df FROM post GROUP BY s),
+    rare AS (SELECT p.doc_id, p.s FROM post p JOIN dfc USING (s)
+             WHERE df <= 1000),
+    b AS (SELECT doc_id, s,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 AS bkt
+          FROM rare),
+    common AS (
+      SELECT t.doc_id AS doc_id, e.doc_id AS eval_doc_id,
+             count(*) AS n_common
+      FROM b t JOIN b e ON t.s = e.s AND t.bkt >= 4 AND e.bkt < 4
+      GROUP BY 1, 2
+      HAVING count(*) >= 3)
+    SELECT doc_id, eval_doc_id, n_common FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n_common DESC, eval_doc_id) AS rn
+      FROM common)
+    WHERE rn = 1
+"""
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.passage_dedup(_t(spark, sf_dir, "documents"))
+
+
+PASSAGE_DEDUP_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    chun AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(t[(i - 1) * 10 + 1:(i - 1) * 10 + 10], ' ')
+               AS chunk
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, CAST(ceil(len(t) / 10.0) AS INT)))
+                     AS i
+            FROM toks WHERE len(t) > 0)),
+    marked AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1
+               AS kept
+      FROM chun)
+    SELECT doc_id, count(*) AS n_chunks,
+           count(*) FILTER (WHERE kept) AS n_kept,
+           coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE kept),
+                    '') AS dedup_text
+    FROM marked GROUP BY doc_id
+"""
+
+
 def register(registry: dict) -> None:
     from hbase_tohdfs_spark.queries import (
         _EVENTS_HOURLY_ORACLE,
@@ -775,5 +875,11 @@ def register(registry: dict) -> None:
             "media_image_pipeline": QuerySpec(
                 q_media_image_pipeline, MEDIA_IMAGE_ORACLE
             ),
+            "assign_splits": QuerySpec(q_assign_splits, ASSIGN_SPLITS_ORACLE),
+            "pack_sequences": QuerySpec(q_pack_sequences, PACK_SEQUENCES_ORACLE),
+            "contamination_report": QuerySpec(
+                q_contamination_report, CONTAMINATION_ORACLE
+            ),
+            "passage_dedup": QuerySpec(q_passage_dedup, PASSAGE_DEDUP_ORACLE),
         }
     )
