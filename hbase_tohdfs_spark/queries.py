@@ -638,6 +638,314 @@ _TPCH_Q18_ORACLE = """
 """
 
 
+def _rev_dec():
+    """price·(1−discount) with each FACTOR cast to decimal — the
+    cross-engine-exact money expression (see q_tpch_q10 for why the
+    double product must not be cast)."""
+    return F.col("l_extendedprice").cast("decimal(18,6)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(18,6)")
+
+
+_REV_DEC_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,6))"
+    " * CAST(1 - l_discount AS DECIMAL(18,6))"
+)
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade between two
+    nations by year.  The nation dim plays two roles (supplier side,
+    customer side) — broadcast twice under different aliases; the
+    cross-nation OR filter lands on broadcast-join outputs, so the only
+    shuffles are the two fact joins and the final small agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_TPCH_Q7_ORACLE = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year, l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    ECONOMY-part revenue sold into AMERICA, by order year.  Numerator and
+    denominator are exact decimal sums; the share divides them as
+    doubles (identical inputs → identical IEEE result in both engines)
+    and both raw sums ride along so the ratio is auditable."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    vol = _rev_dec()
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(target).alias("num_dec"), F.sum(vol).alias("den_dec")
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("num_dec").cast("double") / F.col("den_dec").cast("double"), 4
+        ).alias("mkt_share"),
+        F.round(F.col("num_dec"), 2).cast("double").alias("nation_volume"),
+        F.round(F.col("den_dec"), 2).cast("double").alias("total_volume"),
+    ).orderBy("o_year")
+
+
+_TPCH_Q8_ORACLE = f"""
+    WITH j AS (
+      SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+             {_REV_DEC_SQL} AS vol
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'),
+    agg AS (
+      SELECT o_year,
+             sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS num_dec,
+             sum(vol) AS den_dec
+      FROM j GROUP BY o_year)
+    SELECT o_year,
+           round(CAST(num_dec AS DOUBLE) / CAST(den_dec AS DOUBLE), 4)
+             AS mkt_share,
+           CAST(round(num_dec, 2) AS DOUBLE) AS nation_volume,
+           CAST(round(den_dec, 2) AS DOUBLE) AS total_volume
+    FROM agg ORDER BY o_year
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    zero-order customers survive, then a histogram of counts.  Two
+    aggregations, both keyed; the first groups the join output on
+    c_custkey, the second is over ~distinct-count rows (tiny)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_TPCH_Q13_ORACLE = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the supplier(s) hitting the global maximum.  The max is a
+    1-row broadcast joined back on exact DECIMAL equality (the rounded
+    decimal is exact in both engines; double equality would be a trap)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_rev_dec()), 2).alias("total_dec")
+    )
+    top = rev.agg(F.max("total_dec").alias("max_dec"))
+    return (
+        rev.join(F.broadcast(top), rev.total_dec == top.max_dec)
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_TPCH_Q15_ORACLE = f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum({_REV_DEC_SQL}), 2) AS total_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON supplier_no = s_suppkey
+    WHERE total_dec = (SELECT max(total_dec) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate revenue): OR of three
+    (brand, size-range, quantity-range) conjuncts across a lineitem-part
+    join.  Catalyst splits the common p_partkey equi-key out of the OR so
+    the join stays a hash join with the disjunction as a post-join
+    filter; part-side conjuncts (brand OR'd with brand) still prune the
+    broadcast build side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue")
+    )
+
+
+_TPCH_Q19_ORACLE = f"""
+    SELECT CAST(round(sum({_REV_DEC_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): rich customers (above
+    the positive-balance average) with no orders, grouped by nation.
+    The average is an exact decimal sum divided as double (identical in
+    both engines — a plain avg(double) varies with summation order); the
+    no-orders test is a left-anti join, never NOT IN."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_TPCH_Q22_ORACLE = """
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*)
+        FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup (batch twin of the streaming pivot)."""
     events = _events(spark, sf_dir)
@@ -1069,6 +1377,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q10": QuerySpec(q_tpch_q10, _TPCH_Q10_ORACLE),
     "tpch_q14": QuerySpec(q_tpch_q14, _TPCH_Q14_ORACLE),
     "tpch_q18": QuerySpec(q_tpch_q18, _TPCH_Q18_ORACLE),
+    "tpch_q7": QuerySpec(q_tpch_q7, _TPCH_Q7_ORACLE),
+    "tpch_q8": QuerySpec(q_tpch_q8, _TPCH_Q8_ORACLE),
+    "tpch_q13": QuerySpec(q_tpch_q13, _TPCH_Q13_ORACLE),
+    "tpch_q15": QuerySpec(q_tpch_q15, _TPCH_Q15_ORACLE),
+    "tpch_q19": QuerySpec(q_tpch_q19, _TPCH_Q19_ORACLE),
+    "tpch_q22": QuerySpec(q_tpch_q22, _TPCH_Q22_ORACLE),
     "events_hourly_rollup": QuerySpec(q_events_hourly_rollup, _EVENTS_HOURLY_ORACLE),
     "window_running_revenue": QuerySpec(
         q_window_running_revenue, _WINDOW_RUNNING_ORACLE
