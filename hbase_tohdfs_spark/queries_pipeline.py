@@ -560,6 +560,24 @@ STREAM_DEDUP_ORACLE = """
 """
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_tohdfs_spark.streaming.pivot_stream import interval_join_stream
+
+    return interval_join_stream(spark, sf_dir)
+
+
+STREAM_INTERVAL_JOIN_ORACLE = """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+               FROM events),
+    p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, us FROM e WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.us AS purchase_us, c.us AS click_us
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.us >= p.us - 3600000000 AND c.us < p.us
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation for pathologically skewed keys.
 
@@ -845,6 +863,9 @@ def register(registry: dict) -> None:
             ),
             "stream_dedup_events": QuerySpec(
                 q_stream_dedup_events, STREAM_DEDUP_ORACLE
+            ),
+            "stream_interval_join": QuerySpec(
+                q_stream_interval_join, STREAM_INTERVAL_JOIN_ORACLE
             ),
             "skew_salted_agg": QuerySpec(q_skew_salted_agg, SKEW_SALTED_AGG_ORACLE),
             "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_ORACLE),

@@ -228,3 +228,47 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("minute", "yyyy-MM-dd HH:mm:ss").alias("minute"),
     )
+
+
+def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every (purchase, click) pair where
+    the same user's click landed in the hour strictly before the
+    purchase — the streaming twin of the batch range join
+    (``queries.q_clicks_before_purchase``'s pair stage).
+
+    Both sides are watermarked; the join condition carries an explicit
+    event-time bound (``click in [purchase − 1h, purchase)``), which is
+    what lets Spark expire join state instead of buffering both streams
+    forever: a click older than watermark + 1 h can never match a future
+    purchase and is evicted.  Inner joins emit in append mode as soon as
+    both rows are present — no watermark wait — so the availableNow
+    backfill produces exactly the batch join's rows.
+
+    Scale posture: state is two RocksDB-backed buffers bounded by
+    (watermark + interval), keyed on user_id; the join itself shuffles
+    both streams on the equi-key like any keyed stream op.
+    """
+    ev = stream_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 day")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 day")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    )
+    out = j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("c_ts").alias("click_us"),
+    )
+    return _run_to_memory(out, "append")

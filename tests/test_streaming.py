@@ -148,3 +148,70 @@ def test_multibatch_stream_dedup(spark, sf_dir, events_dir, monkeypatch):
     got_rows = sorted(map(tuple, got.collect()))
     assert got_rows == sorted(set(got_rows)), "stream emitted duplicate keys"
     assert got_rows == sorted(map(tuple, batch.collect()))
+
+
+def test_multibatch_interval_join(spark, sf_dir, events_dir, monkeypatch):
+    """Stream-stream interval join across micro-batches: a click arrives
+    in an earlier batch than its matching purchase, so the click-side
+    join state must persist across triggers until the purchase shows up.
+
+    Files are sliced in event-time order with increasing mod-times (the
+    same discipline as the dedup test): a time-random split would
+    advance the watermark past later batches' events, which the join
+    then correctly drops as late — watermark semantics, not a join bug.
+    """
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    slices_root = tempfile.mkdtemp(prefix="ij_events")
+    df = spark.read.parquet(events_dir).withColumn(
+        "bucket", F.ntile(8).over(Window.orderBy("ts"))
+    )
+    t = 2_000_000_000
+    for b in range(1, 9):
+        df.filter(F.col("bucket") == b).drop("bucket").coalesce(1).write.parquet(
+            f"{slices_root}/s{b}"
+        )
+        (part,) = glob.glob(f"{slices_root}/s{b}/*.parquet")
+        os.utime(part, (t, t))
+        t += 60
+
+    ordered = f"{slices_root}/ordered"
+    os.makedirs(ordered)
+    for b in range(1, 9):
+        (part,) = glob.glob(f"{slices_root}/s{b}/*.parquet")
+        os.link(part, f"{ordered}/b{b}.parquet")
+
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    monkeypatch.setattr(
+        ps,
+        "stream_events",
+        lambda spark_, _sf: _stream(spark_, ordered),
+    )
+    got = ps.interval_join_stream(spark, "ignored")
+
+    e = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"), "event_type")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("us").alias("click_us")
+    )
+    hour_us = 3600 * 1000 * 1000
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_us") >= F.col("us") - hour_us)
+        & (F.col("click_us") < F.col("us")),
+    ).select("event_id", "user_id", F.col("us").alias("purchase_us"), "click_us")
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows, "join produced no pairs — fixture broken?"
+    assert got_rows == sorted(map(tuple, batch.collect()))
