@@ -100,6 +100,26 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("documentsParquet")
     s.add_argument("outputFolder")
 
+    s = sub.add_parser(
+        "Curate", help="corpus curation: splits / packing / decontamination"
+    )
+    s.add_argument("documentsParquet")
+    s.add_argument("outputFolder")
+    s.add_argument(
+        "--op",
+        choices=["split", "pack", "decontaminate", "passage-dedup"],
+        default="split",
+    )
+    s.add_argument("--group-col", default="source", help="split hash group")
+    s.add_argument("--budget", type=int, default=512, help="pack token budget")
+    s.add_argument("--streams", type=int, default=32, help="pack streams")
+    s.add_argument(
+        "--eval-pct", type=int, default=4, help="decontaminate eval bucket %%"
+    )
+    s.add_argument(
+        "--chunk-tokens", type=int, default=10, help="passage-dedup chunk size"
+    )
+
     return p
 
 
@@ -204,6 +224,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         docs = spark.read.parquet(args.documentsParquet)
         text_ops.text_stats(docs).write.mode("overwrite").parquet(args.outputFolder)
+    elif args.verb == "Curate":
+        from hbase_tohdfs_spark.operators import curation
+
+        docs = spark.read.parquet(args.documentsParquet)
+        if args.op == "split":
+            out = curation.assign_splits(docs, group_col=args.group_col)
+        elif args.op == "pack":
+            out = curation.pack_sequences(
+                docs, budget=args.budget, n_streams=args.streams
+            )
+        elif args.op == "decontaminate":
+            out = curation.contamination_report(docs, eval_pct=args.eval_pct)
+        else:
+            out = curation.passage_dedup(docs, chunk_tokens=args.chunk_tokens)
+        out.write.mode("overwrite").parquet(args.outputFolder)
     return 0
 
 

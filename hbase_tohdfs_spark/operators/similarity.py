@@ -265,3 +265,89 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means over the embedding column; returns the trained
+    centroids and the final assignment frame ``(vec_id, cluster,
+    sq_dist)``.
+
+    The iterative-training shape done Spark-native (this is how MLlib's
+    own KMeans is structured):
+
+    * **Assignment is map-side and shuffle-free**: the k·d centroid
+      matrix is tiny model state, so it rides into the plan as a literal
+      nested array; each row computes its k squared distances inside
+      codegen (``transform`` + ``aggregate`` over the zipped arrays) and
+      takes the argmin.  No join, no shuffle, no UDF.
+    * **The update step is one keyed shuffle per iteration**:
+      ``posexplode`` the vectors (a generator, no shuffle) and
+      partial-aggregate per ``(cluster, dimension)`` — the shuffle
+      carries k·d partial sums per map partition, not the corpus.
+    * **The driver holds only the model** (k·d doubles per iteration),
+      exactly like the reference loop structure in connected_components:
+      data never collects.
+
+    Iteration count is fixed (classic fixed-budget Lloyd) so the result
+    is deterministic given the deterministic init (the k lowest-id
+    vectors).  Empty clusters keep their previous centroid.
+    """
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    seeds = e.orderBy("vid").limit(k).collect()
+    centroids = [list(r["v"]) for r in seeds]
+    e = e.persist()
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        )
+        d = e.withColumn("cents", arr)
+        sq = (
+            "transform(cents, c -> aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (acc, z) -> acc + z))"
+        )
+        d = d.withColumn("sq", F.expr(sq)).drop("cents")
+        return d.select(
+            "vid",
+            "v",
+            (F.expr("array_position(sq, array_min(sq))") - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.expr("array_min(sq)").alias("sq_dist"),
+        )
+
+    for _ in range(iters):
+        a = assign(centroids)
+        sums = (
+            a.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, list[tuple[int, float, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], []).append(
+                (r["dim"], r["sx"], r["n"])
+            )
+        for cid, dims in by_cluster.items():
+            vec = centroids[cid][:]
+            for dim, sx, n in dims:
+                vec[dim] = sx / n
+            centroids[cid] = vec
+
+    final = assign(centroids).select(
+        "vid", "cluster", F.round("sq_dist", 6).alias("sq_dist")
+    )
+    final = final.select(F.col("vid").alias(id_col), "cluster", "sq_dist")
+    e.unpersist()
+    return centroids, final

@@ -743,6 +743,17 @@ TFIDF_TOP_TERMS_ORACLE = f"""
 """
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget Lloyd k-means over the embeddings table (iterative
+    training loop — genuinely non-SQL-expressible across engines because
+    double summation order in the mean step is engine-specific, so this
+    entry has no oracle and takes the driver's rows-only check; the
+    semantic tests live in tests/test_pipeline_ops.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assign = similarity.kmeans_train(emb, k=8, iters=3)
+    return assign
+
+
 # ------------------------------------------------------------ curation
 def q_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.assign_splits(_t(spark, sf_dir, "documents"))
@@ -902,5 +913,6 @@ def register(registry: dict) -> None:
                 q_contamination_report, CONTAMINATION_ORACLE
             ),
             "passage_dedup": QuerySpec(q_passage_dedup, PASSAGE_DEDUP_ORACLE),
+            "kmeans_assign": QuerySpec(q_kmeans_assign, None),
         }
     )

@@ -138,3 +138,36 @@ def test_arity_validation_rejects_missing_args(spark):
     with pytest.raises(SystemExit) as ex:
         cli.main(["ExportHBaseTableToAvro", "onlytable"], spark=spark)
     assert ex.value.code != 0
+
+
+def test_curate_verb_all_ops(spark, tmp_path):
+    """The Curate verb writes parquet for every --op over a documents
+    table (columns match the testdata layout)."""
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j}" for j in range(i % 7, i % 7 + 30)),
+             "en", f"src{i % 3}", 0)
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(docs)
+
+    def run(*args) -> int:
+        from hbase_tohdfs_spark import cli
+
+        return cli.main([str(a) for a in args], spark=spark)
+
+    for op, expect_cols in [
+        ("split", {"doc_id", "grp", "split"}),
+        ("pack", {"doc_id", "stream", "n_tokens", "seq_id", "start_off",
+                  "crosses_boundary"}),
+        ("decontaminate", {"doc_id", "eval_doc_id", "n_common"}),
+        ("passage-dedup", {"doc_id", "n_chunks", "n_kept", "dedup_text"}),
+    ]:
+        out = str(tmp_path / f"out_{op}")
+        assert run("Curate", docs, out, "--op", op) == 0
+        got = spark.read.parquet(out)
+        assert set(got.columns) == expect_cols
+        if op != "decontaminate":  # report may legitimately be empty
+            assert got.count() > 0

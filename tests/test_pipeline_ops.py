@@ -408,3 +408,45 @@ def test_range_join_exact_buckets_beyond_double_precision(spark):
 def test_audio_stub_raises():
     with pytest.raises(NotImplementedError, match="torchaudio|ffmpeg"):
         multimodal.decode_audio_stub(b"RIFF....")
+
+
+def test_kmeans_separable_blobs(spark):
+    """Three well-separated blobs: k-means must recover them exactly,
+    deterministically, with centroids at the blob means."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    centers = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    for i in range(90):
+        cx, cy = centers[i % 3]
+        rows.append(
+            (i, [cx + rng.uniform(-0.5, 0.5), cy + rng.uniform(-0.5, 0.5)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, assign = similarity.kmeans_train(emb, k=3, iters=5)
+    got = {r["vec_id"]: r["cluster"] for r in assign.collect()}
+    # Same blob -> same cluster, different blobs -> different clusters.
+    for i in range(90):
+        assert got[i] == got[i % 3]
+    assert len({got[0], got[1], got[2]}) == 3
+    # Centroids sit on the blob centers (within the jitter radius).
+    for c in cents:
+        assert any(
+            abs(c[0] - cx) < 0.6 and abs(c[1] - cy) < 0.6 for cx, cy in centers
+        )
+    # Deterministic: second run, identical assignment.
+    _, again = similarity.kmeans_train(emb, k=3, iters=5)
+    assert got == {r["vec_id"]: r["cluster"] for r in again.collect()}
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """The assignment stage must be map-side: centroid literals, no join,
+    no exchange anywhere in its plan."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    cents, assign = similarity.kmeans_train(emb, k=2, iters=1)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
