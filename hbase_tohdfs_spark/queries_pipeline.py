@@ -560,6 +560,18 @@ STREAM_DEDUP_ORACLE = """
 """
 
 
+def _sessionize_oracle() -> str:
+    from hbase_tohdfs_spark.queries import _SESSIONIZE_ORACLE
+
+    return _SESSIONIZE_ORACLE
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_tohdfs_spark.streaming.pivot_stream import session_window_stream
+
+    return session_window_stream(spark, sf_dir)
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_tohdfs_spark.streaming.pivot_stream import interval_join_stream
 
@@ -877,6 +889,9 @@ def register(registry: dict) -> None:
             ),
             "stream_interval_join": QuerySpec(
                 q_stream_interval_join, STREAM_INTERVAL_JOIN_ORACLE
+            ),
+            "stream_session_window": QuerySpec(
+                q_stream_session_window, _sessionize_oracle()
             ),
             "skew_salted_agg": QuerySpec(q_skew_salted_agg, SKEW_SALTED_AGG_ORACLE),
             "dedup_exact": QuerySpec(q_dedup_exact, DEDUP_EXACT_ORACLE),

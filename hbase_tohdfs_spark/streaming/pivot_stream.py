@@ -272,3 +272,33 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("c_ts").alias("click_us"),
     )
     return _run_to_memory(out, "append")
+
+
+def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows — the streaming twin of
+    ``queries.q_sessionize_events`` (same 30-minute gap, same oracle).
+
+    ``F.session_window`` merges an event into the current session while
+    it lands before ``last_ts + gap``; state is per (user, open session)
+    and closes once the watermark passes ``session_end``, which bounds
+    it the same way the tumbling rollup's windows are bounded.  Decimal
+    accumulation keeps the per-session sum independent of micro-batch
+    boundaries."""
+    from hbase_tohdfs_spark.queries import SESSION_GAP_MIN
+
+    events = stream_events(spark, sf_dir).withWatermark("ts", "1 day")
+    sw = F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+    agg = events.groupBy(sw.alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+    result = _run_to_memory(agg, "complete")
+    return result.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )

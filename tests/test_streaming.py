@@ -215,3 +215,62 @@ def test_multibatch_interval_join(spark, sf_dir, events_dir, monkeypatch):
     got_rows = sorted(map(tuple, got.collect()))
     assert got_rows, "join produced no pairs — fixture broken?"
     assert got_rows == sorted(map(tuple, batch.collect()))
+
+
+def test_multibatch_session_window_merges_across_batches(
+    spark, sf_dir, events_dir, monkeypatch
+):
+    """A session whose events straddle a micro-batch boundary must come
+    out as ONE merged session: session state has to survive the trigger
+    and extend when the next batch's events land within the gap.
+    Time-ordered slices (see the interval-join test) keep the watermark
+    honest."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    slices_root = tempfile.mkdtemp(prefix="sw_events")
+    df = spark.read.parquet(events_dir).withColumn(
+        "bucket", F.ntile(8).over(Window.orderBy("ts"))
+    )
+    t = 3_000_000_000
+    ordered = f"{slices_root}/ordered"
+    os.makedirs(ordered)
+    for b in range(1, 9):
+        df.filter(F.col("bucket") == b).drop("bucket").coalesce(1).write.parquet(
+            f"{slices_root}/s{b}"
+        )
+        (part,) = glob.glob(f"{slices_root}/s{b}/*.parquet")
+        os.utime(part, (t, t))
+        os.link(part, f"{ordered}/b{b}.parquet")
+        t += 60
+
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    monkeypatch.setattr(
+        ps, "stream_events", lambda spark_, _sf: _stream(spark_, ordered)
+    )
+    got = ps.session_window_stream(spark, "ignored")
+
+    from hbase_tohdfs_spark.queries import SESSION_GAP_MIN, _dsum
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum(F.col("value"), "sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    assert got_rows == sorted(map(tuple, batch.collect()))
