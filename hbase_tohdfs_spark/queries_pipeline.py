@@ -866,6 +866,78 @@ PASSAGE_DEDUP_ORACLE = f"""
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pipeline as ONE declarative plan:
+    quality filter → exact dedup → leakage-safe split → sequence packing
+    of the train split.  Each stage is an already-oracle-proven operator;
+    composing them in a single DataFrame chain is the point — Catalyst
+    sees the whole lineage, so column pruning and filter placement work
+    across stage boundaries, and nothing materializes between stages.
+    All inter-stage joins are keyed on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    keep_q = (
+        text.text_stats(docs)
+        .filter(F.col("quality_score") >= 0.65)
+        .select("doc_id")
+    )
+    d = docs.join(keep_q, "doc_id")
+    kept = dedup.exact_dedup(d).select("doc_id")
+    train = (
+        curation.assign_splits(docs.join(kept, "doc_id"))
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    return curation.pack_sequences(docs.join(train, "doc_id"))
+
+
+def _curation_pipeline_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+    return f"""
+    WITH {_TOKS_CTE},
+    ratios AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g'))
+                        AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
+             round(CAST(len(list_filter(t, x -> list_contains([{stop_list}], x)))
+                        AS DOUBLE) / greatest(len(t), 1), 4) AS stop_ratio
+      FROM toks),
+    q AS (
+      SELECT doc_id FROM ratios
+      WHERE round(least(n_tokens / 50.0, 1.0) * 0.5
+                  + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+                  + least(stop_ratio * 10, 1.0) * 0.2, 4) >= 0.65),
+    dd AS (SELECT d.doc_id, d.text, d.source
+           FROM documents d JOIN q USING (doc_id)),
+    keep AS (SELECT doc_id FROM (
+               SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+                                                 ORDER BY doc_id) AS rn
+               FROM dd) WHERE rn = 1),
+    tr AS (SELECT dd.doc_id, dd.text
+           FROM dd JOIN keep USING (doc_id)
+           WHERE ('0x' || substr(md5(CAST(dd.source AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 < 80),
+    base AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 % 32 AS stream,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM tr),
+    st AS (
+      SELECT doc_id, stream, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM base)
+    SELECT doc_id, stream, n_tokens,
+           CAST(floor(s / 512) AS BIGINT) AS seq_id,
+           CAST(s % 512 AS BIGINT) AS start_off,
+           (s % 512) + n_tokens > 512 AS crosses_boundary
+    FROM st
+"""
+
+
 def register(registry: dict) -> None:
     from hbase_tohdfs_spark.queries import (
         _EVENTS_HOURLY_ORACLE,
@@ -929,5 +1001,8 @@ def register(registry: dict) -> None:
             ),
             "passage_dedup": QuerySpec(q_passage_dedup, PASSAGE_DEDUP_ORACLE),
             "kmeans_assign": QuerySpec(q_kmeans_assign, None),
+            "curation_pipeline": QuerySpec(
+                q_curation_pipeline, _curation_pipeline_oracle()
+            ),
         }
     )

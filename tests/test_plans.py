@@ -82,3 +82,37 @@ def test_generator_has_no_scan_and_n_partitions(spark):
     plan = cells._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan
     assert "Range" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """100 TB posture: when a selective dim-side filter feeds a SHUFFLE
+    join, Spark's runtime bloom filter semi-join-reduces the fact scan
+    before the exchange (InjectRuntimeFilter). Local test files sit
+    below the application-side size threshold, so the thresholds are
+    pinned to demonstrate the mechanism; at cluster scale the defaults
+    (10 GB app side) fire on their own."""
+    from pyspark.sql import functions as F
+
+    saved_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thr_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    saved_thr = spark.conf.get(thr_key)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(thr_key, "0")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
+        spark.conf.set(thr_key, saved_thr)
