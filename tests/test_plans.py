@@ -116,3 +116,29 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
         spark.conf.set(thr_key, saved_thr)
+
+
+def test_partitioned_layout_prunes_at_planning_time(spark, sf_dir, tmp_path):
+    """100 TB posture: a date-partitioned lake layout turns a date filter
+    into partition pruning — the pruned directories are never listed as
+    input, which is the difference between scanning a day and scanning
+    a decade. Asserts the filter lands in PartitionFilters (not a
+    post-scan Filter) and that the scan reads only matching partitions."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orders_by_month")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.partitionBy("o_month").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("o_month") == "1996-03")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "1996-03" in plan.split("PartitionFilters", 1)[1][:200]
+    expected = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.date_format("o_orderdate", "yyyy-MM") == "1996-03")
+        .count()
+    )
+    assert df.count() == expected
