@@ -1347,6 +1347,124 @@ _SET_OPS_ORACLE = """
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel (view → click → purchase): a user counts
+    for a stage only if it happened strictly after their first event of
+    the previous stage.  Three keyed min-aggregations chained by
+    broadcast-size joins (each stage's frame is one row per qualifying
+    user, far smaller than the event stream); the event scan is shared
+    lineage, filtered per stage.  Output is one row per stage with the
+    surviving-user count and the conversion rate off stage 1."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn("stage", F.lit("1_view"))
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+                "stage", F.lit("2_click_after_view")
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+                "stage", F.lit("3_purchase_after_click")
+            )
+        )
+    )
+    base = v.agg(F.count(F.lit(1)).alias("n_base"))
+    return (
+        stages.join(F.broadcast(base))
+        .select(
+            "stage",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("n_base").cast("double"), 4
+            ).alias("conversion"),
+        )
+        .orderBy("stage")
+    )
+
+
+_FUNNEL_ORACLE = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+    v AS (SELECT user_id, min(us) AS v_us FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND us > v_us GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND us > c_us GROUP BY e.user_id),
+    stages AS (
+      SELECT '1_view' AS stage, (SELECT count(*) FROM v) AS n_users
+      UNION ALL
+      SELECT '2_click_after_view', (SELECT count(*) FROM c)
+      UNION ALL
+      SELECT '3_purchase_after_click', (SELECT count(*) FROM p))
+    SELECT stage, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / CAST((SELECT count(*) FROM v) AS DOUBLE), 4) AS conversion
+    FROM stages ORDER BY stage
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted per subsequent active week.  Two keyed aggregations (first
+    activity per user; distinct user-week pairs) and one join — the
+    classic big-event-data analytic, all in weekly date arithmetic that
+    replays exactly in SQL."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = e.distinct()
+    joined = active.join(first, "user_id").select(
+        "user_id",
+        "cohort_wk",
+        (F.datediff("wk", "cohort_wk") / 7).cast("long").alias("week_offset"),
+    )
+    return (
+        joined.groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_COHORT_ORACLE = """
+    WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+               FROM events),
+    first AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+    SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_wk, wk) / 7 AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM e JOIN first USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1407,6 +1525,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "users_click_purchase_sets": QuerySpec(
         q_users_click_purchase_sets, _SET_OPS_ORACLE
     ),
+    "funnel_conversion": QuerySpec(q_funnel_conversion, _FUNNEL_ORACLE),
+    "cohort_retention": QuerySpec(q_cohort_retention, _COHORT_ORACLE),
 }
 
 # North-star pipeline operators (dedup / similarity / text / multimodal)
