@@ -90,9 +90,17 @@ def pack_sequences(
     training examples).
     """
     n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    # Hash straight to the stream (NOT through the 100-bucket helper: a
+    # mod-100 pre-reduction would cap the stream count at 100 and skew
+    # any n_streams that doesn't divide 100).  The 60-bit md5 value is
+    # nonnegative, so % matches DuckDB's %.
+    stream = F.expr(
+        f"cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+        f" as bigint) % {n_streams}"
+    )
     d = docs.select(
         "doc_id",
-        (_bucket100("cast(doc_id as string)") % n_streams).alias("stream"),
+        stream.alias("stream"),
         n_tok.alias("n_tokens"),
     )
     w = (
@@ -138,6 +146,9 @@ def contamination_report(
     # train and eval sides are different filters of the same frame, so
     # without the cache Spark re-runs the tokenize + df-join chain once
     # per side (self-join branches share no subplan unless identical).
+    # The frames stay cached after the result is consumed (same
+    # convention as minhash_dedup_pairs / shingle_docs): long-lived
+    # sessions should spark.catalog.clearCache() between pipeline runs.
     sh = shingle_docs(docs, k).persist()
     postings = (
         sh.filter(F.size("sh") > 0)

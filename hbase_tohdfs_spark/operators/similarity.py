@@ -93,13 +93,22 @@ def cosine_topk(
 
 
 def bucket_expr(vec_col: str, planes: list[list[int]]):
-    """LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    """LSH bucket id: bit p set iff dot(vec, plane_p) > 0.
+
+    The product is null-safe (``coalesce(x*y, 0)``): when the vector's
+    dimensionality differs from the planes', ``zip_with`` null-pads the
+    shorter side, and without the coalesce a single null would poison
+    the whole aggregate — every vector would land in bucket 0 and the
+    "approximate" search would silently degrade to a full scan.  With
+    it, mismatched dims degrade gracefully to bucketing on the
+    overlapping prefix (and matching dims are bit-identical)."""
     terms = []
     for p, row in enumerate(planes):
         arr = ", ".join(f"{v}D" for v in row)
         terms.append(
             f"(CASE WHEN aggregate(zip_with({vec_col}, array({arr}),"
-            f" (x, y) -> cast(x as double) * y), 0D, (acc, x) -> acc + x) > 0"
+            f" (x, y) -> coalesce(cast(x as double) * y, 0D)),"
+            f" 0D, (acc, x) -> acc + x) > 0"
             f" THEN shiftleft(1, {p}) ELSE 0 END)"
         )
     return F.expr(" + ".join(terms))

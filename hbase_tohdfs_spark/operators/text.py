@@ -138,21 +138,6 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def token_counts(docs: DataFrame) -> DataFrame:
-    """Whitespace + BPE-ish regex token counts (cost estimation)."""
-    # Patterns go through F.lit, NOT an F.expr SQL string — the SQL
-    # parser would eat the backslash in '\s' and quietly change the regex.
-    return docs.select(
-        "doc_id",
-        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
-            "n_tokens_ws"
-        ),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0))).alias(
-            "n_tokens_bpe"
-        ),
-    )
-
-
 def lang_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: distinct-token overlap with per-language
     marker sets; deterministic tie-break by language code order."""

@@ -791,7 +791,7 @@ PACK_SEQUENCES_ORACLE = """
     WITH base AS (
       SELECT doc_id,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-               % 100 % 32 AS stream,
+               % 32 AS stream,
              len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
                AS n_tokens
       FROM documents),
@@ -920,7 +920,7 @@ def _curation_pipeline_oracle() -> str:
     base AS (
       SELECT doc_id,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-               % 100 % 32 AS stream,
+               % 32 AS stream,
              len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
                AS n_tokens
       FROM tr),

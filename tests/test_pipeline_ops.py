@@ -450,3 +450,23 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     cents, assign = similarity.kmeans_train(emb, k=2, iters=1)
     plan = assign._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_lsh_buckets_vary_on_mismatched_dim(spark):
+    """Regression: zip_with null-pads when vector dim != plane dim, and
+    without the null-safe product every vector collapsed into bucket 0 —
+    silently turning LSH into a full scan.  32-dim vectors against the
+    default 64-dim planes must still spread across buckets."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = similarity.hyperplane_signs(similarity.NUM_PLANES, 64)
+    buckets = {
+        r["b"]
+        for r in emb.select(
+            similarity.bucket_expr("embedding", planes).alias("b")
+        ).collect()
+    }
+    assert len(buckets) > 4, f"bucket collapse: {buckets}"
