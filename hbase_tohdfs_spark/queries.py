@@ -49,15 +49,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read it as long nanos (legacy conf, runtime-settable) and
-    rebuild a microsecond TimestampType column — matching DuckDB's
-    TIMESTAMP_NS -> epoch_us truncation."""
-    from hbase_tohdfs_spark.session import ensure_nanos_as_long
+    """events.parquet's ``ts`` storage type has varied across testdata
+    generations (TIMESTAMP(NANOS) -> long under the legacy conf, now
+    TIMESTAMP(MICROS) -> TIMESTAMP_NTZ); normalize to TimestampType under
+    a UTC session zone so downstream operators and the DuckDB oracles
+    (naive ``epoch_us`` arithmetic) agree regardless of generation."""
+    from hbase_tohdfs_spark.session import (
+        ensure_nanos_as_long,
+        ensure_utc,
+        normalize_event_ts,
+    )
 
     ensure_nanos_as_long(spark)
-    df = _t(spark, sf_dir, "events")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ensure_utc(spark)
+    return normalize_event_ts(_t(spark, sf_dir, "events"))
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]

@@ -64,3 +64,43 @@ def ensure_nanos_as_long(spark: SparkSession) -> None:
     key = "spark.sql.legacy.parquet.nanosAsLong"
     if spark.conf.get(key, "false") != "true":
         spark.conf.set(key, "true")
+
+
+def ensure_utc(spark: SparkSession) -> None:
+    """Idempotently pin the session time zone to UTC (runtime-settable).
+
+    Every timestamp the engine renders or buckets assumes UTC; DuckDB's
+    naive TIMESTAMP arithmetic (``epoch_us``, ``strftime``) is wall-clock,
+    so the two engines only agree when Spark's session zone is UTC.
+    ``get_spark`` sets this at build time; externally-created sessions
+    (the correctness driver's) get it here."""
+    key = "spark.sql.session.timeZone"
+    if spark.conf.get(key, "") != "UTC":
+        spark.conf.set(key, "UTC")
+
+
+def normalize_event_ts(df):
+    """Return ``df`` with ``ts`` as a plain TimestampType column, whatever
+    physical/logical type the parquet file stored:
+
+    * ``long`` — legacy TIMESTAMP(NANOS) read under ``nanosAsLong``:
+      rebuild microseconds via ``timestamp_micros(ts div 1000)`` (the same
+      truncation DuckDB applies for TIMESTAMP_NS -> epoch_us);
+    * ``timestamp_ntz`` — TIMESTAMP(MICROS, isAdjustedToUTC=false): cast to
+      TimestampType (identity under the UTC session zone ``ensure_utc``
+      pins — the naive wall clock IS the UTC instant);
+    * ``timestamp`` — already what downstream operators expect.
+
+    Keeping the output type fixed means every downstream consumer
+    (``unix_micros``, windows, watermarks, ``date_trunc``) is untouched by
+    testdata regeneration that changes the column's storage type.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    t = df.schema["ts"].dataType
+    if isinstance(t, T.LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(t, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df

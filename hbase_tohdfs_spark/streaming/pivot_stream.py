@@ -27,34 +27,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the events table (S1's streaming analogue).
 
-    Explicit schema (required by readStream) with ts as long nanos —
-    same nanosAsLong handling as the batch reader."""
-    from hbase_tohdfs_spark.session import ensure_nanos_as_long
+    ``readStream`` requires an explicit schema; a hard-coded one silently
+    misreads the file when the testdata's ``ts`` storage type changes
+    (parquet stores both nanos and micros as physical INT64, so a stale
+    long schema "works" and yields 1000x-off timestamps).  Probe the
+    actual schema with a batch footer read, then normalize ``ts`` to
+    TimestampType exactly like the batch reader."""
+    from hbase_tohdfs_spark.session import (
+        ensure_nanos_as_long,
+        ensure_utc,
+        normalize_event_ts,
+    )
 
     ensure_nanos_as_long(spark)
+    ensure_utc(spark)
     # FileStreamSource needs a directory; narrow it to the events table
-    # with a glob filter.
+    # with a glob filter.  The schema probe is a footer-only batch read.
+    schema = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:

@@ -14,25 +14,32 @@ import pytest
 from pyspark.sql import functions as F
 
 
+from hbase_tohdfs_spark.session import ensure_nanos_as_long, normalize_event_ts
+
+
 @pytest.fixture(scope="module")
 def events_dir(spark, sf_dir, tmp_path_factory):
     """events.parquet re-written as 8 files (preserving rows)."""
     out = str(tmp_path_factory.mktemp("stream") / "events_split")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     df.repartition(8).write.parquet(out)
     return out
 
 
-def _stream(spark, events_dir):
-    from hbase_tohdfs_spark.streaming.pivot_stream import EVENTS_SCHEMA
+def _read_batch(spark, events_dir):
+    """Batch read with the same ts normalization the stream applies."""
+    return normalize_event_ts(spark.read.parquet(events_dir))
 
+
+def _stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema  # footer-only probe
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # force one batch per file
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def _run(agg, mode):
@@ -58,8 +65,7 @@ def test_multibatch_rollup_equals_batch(spark, sf_dir, events_dir):
     assert batches > 1, "expected multiple micro-batches"
 
     batch = (
-        spark.read.parquet(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        _read_batch(spark, events_dir)
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
     )
@@ -78,8 +84,7 @@ def test_multibatch_custom_state_lww(spark, sf_dir, events_dir, monkeypatch):
     got = ps.last_event_pivot_stream_custom(spark, "ignored")
 
     batch = (
-        spark.read.parquet(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        _read_batch(spark, events_dir)
         .groupBy("user_id")
         .pivot("event_type", ps.EVENT_TYPES)
         .agg(F.max_by("value", F.unix_micros("ts")))
@@ -134,8 +139,7 @@ def test_multibatch_stream_dedup(spark, sf_dir, events_dir, monkeypatch):
     got = ps.dedup_events_stream(spark, "ignored")
 
     batch = (
-        spark.read.parquet(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        _read_batch(spark, events_dir)
         .select(
             "user_id",
             "event_type",
@@ -195,8 +199,7 @@ def test_multibatch_interval_join(spark, sf_dir, events_dir, monkeypatch):
     got = ps.interval_join_stream(spark, "ignored")
 
     e = (
-        spark.read.parquet(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        _read_batch(spark, events_dir)
         .select("event_id", "user_id", F.unix_micros("ts").alias("us"), "event_type")
     )
     p = e.filter(F.col("event_type") == "purchase").select(
@@ -257,8 +260,7 @@ def test_multibatch_session_window_merges_across_batches(
     from hbase_tohdfs_spark.queries import SESSION_GAP_MIN, _dsum
 
     batch = (
-        spark.read.parquet(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        _read_batch(spark, events_dir)
         .groupBy(
             F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
             "user_id",
@@ -285,8 +287,7 @@ def test_tws_lww_matches_batch_pivot(spark, sf_dir):
 
     got = ps.last_event_pivot_stream_tws(spark, sf_dir)
     batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
         .groupBy("user_id")
         .pivot("event_type", ps.EVENT_TYPES)
         .agg(F.max_by("value", F.unix_micros("ts")))
