@@ -306,6 +306,14 @@ def kmeans_train(
     Iteration count is fixed (classic fixed-budget Lloyd) so the result
     is deterministic given the deterministic init (the k lowest-id
     vectors).  Empty clusters keep their previous centroid.
+
+    The mean step is made *cross-engine* deterministic so an independent
+    SQL replay (the DuckDB oracle) lands on identical centroids: the
+    per-dimension sums accumulate exactly as DECIMAL(38,12) (double sums
+    reorder under partitioning, decimals don't), and each new centroid
+    coordinate is quantized to 9 decimals — coarse enough to absorb the
+    1-2 ulp of engine-specific decimal->double conversion noise, fine
+    enough that the trajectory is unchanged for embedding-scale values.
     """
     spark = embeddings.sparkSession
     e = embeddings.select(
@@ -340,7 +348,10 @@ def kmeans_train(
         sums = (
             a.select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,12)")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         by_cluster: dict[int, list[tuple[int, float, int]]] = {}
@@ -351,7 +362,7 @@ def kmeans_train(
         for cid, dims in by_cluster.items():
             vec = centroids[cid][:]
             for dim, sx, n in dims:
-                vec[dim] = sx / n
+                vec[dim] = round(float(sx) / n, 9)
             centroids[cid] = vec
 
     final = assign(centroids).select(

@@ -756,14 +756,67 @@ TFIDF_TOP_TERMS_ORACLE = f"""
 
 
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-budget Lloyd k-means over the embeddings table (iterative
-    training loop — genuinely non-SQL-expressible across engines because
-    double summation order in the mean step is engine-specific, so this
-    entry has no oracle and takes the driver's rows-only check; the
-    semantic tests live in tests/test_pipeline_ops.py)."""
+    """Fixed-budget Lloyd k-means over the embeddings table.  The
+    iterative training loop IS SQL-replayable because the operator makes
+    each step cross-engine deterministic (deterministic lowest-id init,
+    DECIMAL-exact mean sums, round-9 centroid quantization — see
+    ``similarity.kmeans_train``), so the oracle unrolls the same three
+    Lloyd iterations as DuckDB CTEs and must land on identical
+    assignments."""
     emb = _t(spark, sf_dir, "embeddings")
     _, assign = similarity.kmeans_train(emb, k=8, iters=3)
     return assign
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd's in DuckDB SQL, mirroring ``kmeans_train`` step by
+    step: k lowest-id seeds; per-iteration argmin assignment (first-index
+    tie-break, like Spark's ``array_position(sq, array_min(sq))``); means
+    as round(DECIMAL(38,12)-exact sum -> double / n, 9); empty clusters
+    keep the previous centroid; final extra assignment pass."""
+
+    def sq(cent_cte: str) -> str:
+        return (
+            f"SELECT e.vec_id AS vec_id, e.v AS v, c.cluster AS cluster, "
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS sq "
+            f"FROM e CROSS JOIN {cent_cte} c"
+        )
+
+    def argmin(cent_cte: str) -> str:
+        return (
+            f"SELECT vec_id, v, cluster, sq FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY sq, cluster) AS rn FROM ({sq(cent_cte)})) WHERE rn = 1"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"k0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, "
+        f"v AS c FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    for j in range(1, iters + 1):
+        ctes.append(f"a{j} AS ({argmin(f'k{j - 1}')})")
+        ctes.append(
+            f"u{j} AS (SELECT cluster, i, "
+            f"round(CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9)"
+            f" AS mx FROM (SELECT cluster, i, v[i] AS x FROM a{j} CROSS JOIN "
+            f"(SELECT unnest(generate_series(1, {dim})) AS i)) GROUP BY cluster, i)"
+        )
+        ctes.append(
+            f"l{j} AS (SELECT cluster, list(mx ORDER BY i) AS c "
+            f"FROM u{j} GROUP BY cluster)"
+        )
+        ctes.append(
+            f"k{j} AS (SELECT p.cluster AS cluster, coalesce(n.c, p.c) AS c "
+            f"FROM k{j - 1} p LEFT JOIN l{j} n USING (cluster))"
+        )
+    ctes.append(f"fin AS ({argmin(f'k{iters}')})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster, "
+        "round(sq, 6) AS sq_dist FROM fin"
+    )
 
 
 # ------------------------------------------------------------ curation
@@ -1000,7 +1053,7 @@ def register(registry: dict) -> None:
                 q_contamination_report, CONTAMINATION_ORACLE
             ),
             "passage_dedup": QuerySpec(q_passage_dedup, PASSAGE_DEDUP_ORACLE),
-            "kmeans_assign": QuerySpec(q_kmeans_assign, None),
+            "kmeans_assign": QuerySpec(q_kmeans_assign, _kmeans_oracle()),
             "curation_pipeline": QuerySpec(
                 q_curation_pipeline, _curation_pipeline_oracle()
             ),
