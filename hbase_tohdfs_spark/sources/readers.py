@@ -66,9 +66,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def print_records(df: DataFrame, limit: int | None = None) -> list[str]:
     """K6: console sink with limit — print schema then up to N records,
     mirroring ``AvroReader.java:45-51`` / ``ParquetReader.java:28-40``.
-    Returns the printed lines (for tests)."""
+    Returns the printed lines (for tests).
+
+    The reference's no-limit default streams record-at-a-time
+    (``AvroReader.java:27-30``); ``toLocalIterator`` is the Spark
+    equivalent — one partition on the driver at a time, never the whole
+    table."""
     out = [df.schema.simpleString()]
-    rows = df.limit(limit).collect() if limit is not None else df.collect()
+    rows = df.limit(limit).collect() if limit is not None else df.toLocalIterator()
     for row in rows:
         out.append(str(row.asDict()))
     for line in out:

@@ -84,7 +84,8 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert all(r["component"] == 0 for r in got)
     assert len(got) == 101
     assert stats["converged"]
-    assert stats["rounds"] <= 12
+    # path halving: O(log diameter) — measured 8 rounds on the 100-chain
+    assert stats["rounds"] <= 10
 
 
 def test_connected_components_warns_when_truncated(spark):

@@ -309,3 +309,117 @@ def test_tws_lww_raises_clear_error_without_protobuf(spark, sf_dir):
 
     with pytest.raises(ImportError, match="google.protobuf"):
         ps.last_event_pivot_stream_tws(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- OOO
+# Out-of-order replay: an event that arrives in a LATER micro-batch with
+# an OLDER timestamp — late but still inside the 1-day watermark — must
+# survive state eviction.  The sliced-replay tests above keep batches in
+# event-time order, so they never exercise this path.
+def _write_ooo_batches(spark, batches, tmp_path_factory, tag):
+    """Each batch -> one parquet file, mtimes increasing, so
+    maxFilesPerTrigger=1 delivers batch i strictly before batch i+1."""
+    import glob
+    import os
+
+    root = str(tmp_path_factory.mktemp(f"ooo_{tag}"))
+    feed = f"{root}/feed"
+    os.makedirs(feed)
+    t = 4_000_000_000
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    for i, rows in enumerate(batches):
+        d = f"{root}/b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        (part,) = glob.glob(f"{d}/*.parquet")
+        os.link(part, f"{feed}/f{i}.parquet")
+        os.utime(f"{feed}/f{i}.parquet", (t, t))
+        t += 60
+    return feed
+
+
+def test_session_window_keeps_late_in_watermark_event(
+    spark, tmp_path_factory, monkeypatch
+):
+    """User A's 10:05 event arrives one batch AFTER their 10:00/10:10
+    events.  It is out-of-order but within the watermark, so the open
+    session must absorb it: one merged A-session with all 4 events."""
+    import datetime as dt
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    batches = [
+        [
+            (1, ts(10, 0), 1, "click", 1.0, "{}"),
+            (2, ts(10, 10), 1, "click", 1.0, "{}"),
+            (3, ts(10, 30), 9, "view", 1.0, "{}"),
+        ],
+        [
+            (4, ts(10, 5), 1, "click", 1.0, "{}"),  # late, in-watermark
+            (5, ts(10, 20), 1, "click", 1.0, "{}"),
+            (6, ts(10, 35), 9, "view", 1.0, "{}"),
+        ],
+    ]
+    feed = _write_ooo_batches(spark, batches, tmp_path_factory, "sw")
+
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    monkeypatch.setattr(
+        ps, "stream_events", lambda spark_, _sf: _stream(spark_, feed)
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in ps.session_window_stream(spark, "ignored").collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:50:00"): 4,
+        (9, "2024-01-01 10:30:00", "2024-01-01 11:05:00"): 2,
+    }
+
+
+def test_interval_join_keeps_late_in_watermark_click(
+    spark, tmp_path_factory, monkeypatch
+):
+    """A click arriving one batch late (older ts, within watermark) must
+    still be in join state when the purchase shows up two batches on:
+    the 10:30 purchase joins ALL THREE clicks in (09:30, 10:30)."""
+    import datetime as dt
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    us = lambda h, m: int(ts(h, m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)  # noqa: E731
+
+    batches = [
+        [
+            (1, ts(10, 0), 1, "click", 1.0, "{}"),
+            (2, ts(10, 4), 1, "click", 1.0, "{}"),
+            (3, ts(10, 5), 9, "view", 1.0, "{}"),
+        ],
+        [
+            (4, ts(10, 2), 1, "click", 1.0, "{}"),  # late, in-watermark
+            (5, ts(10, 6), 9, "view", 1.0, "{}"),
+        ],
+        [
+            (6, ts(10, 30), 1, "purchase", 1.0, "{}"),
+        ],
+    ]
+    feed = _write_ooo_batches(spark, batches, tmp_path_factory, "ij")
+
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    monkeypatch.setattr(
+        ps, "stream_events", lambda spark_, _sf: _stream(spark_, feed)
+    )
+    got = sorted(
+        (r["event_id"], r["user_id"], r["purchase_us"], r["click_us"])
+        for r in ps.interval_join_stream(spark, "ignored").collect()
+    )
+    assert got == [
+        (6, 1, us(10, 30), us(10, 0)),
+        (6, 1, us(10, 30), us(10, 2)),
+        (6, 1, us(10, 30), us(10, 4)),
+    ]
