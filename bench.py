@@ -66,19 +66,35 @@ def main() -> None:
     # Min of two runs per query: the first pass absorbs one-off costs
     # (Python-worker spin-up, codegen, page cache) and scheduler noise,
     # the min reports steady-state engine time.
+    errors: dict[str, str] = {}
     for qi, name in enumerate(names + extra):
         if qi and qi % SESSION_RESTART_EVERY == 0:
             spark.stop()
             spark = _fresh_session()
         fn = REGISTRY[name].fn
         best = None
-        for _ in range(2):
-            spark.catalog.clearCache()  # operators may persist(); isolate timings
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
+        # Fail-soft per query: one broken query (e.g. a testdata schema
+        # drift) must cost ONE entry, not the whole round's bench line —
+        # round 3 recorded no timings at all because the first failure
+        # aborted the run.
+        try:
+            for _ in range(2):
+                spark.catalog.clearCache()  # operators may persist()
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            # the session may be wedged (e.g. a failed streaming query);
+            # recycle it so the next query starts clean
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001
+                pass
+            spark = _fresh_session()
+            continue
         timings[name] = round(best, 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Append the RAW run to history first, then report per-query minima
@@ -107,6 +123,8 @@ def main() -> None:
         "raw_queries": raw,
         "history_runs_used": runs_used,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
 
 
