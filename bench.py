@@ -146,6 +146,38 @@ def _git_sha() -> str | None:
         return None
 
 
+def _code_fingerprint() -> str | None:
+    """Hash of every tracked .py source (package + bench + entry).
+
+    "Identical code" is what makes mixing timings legitimate; the git
+    SHA is a poor proxy for it because artifact-only commits (bench
+    history, correctness JSON) change the SHA without changing a line
+    of code.  The fingerprint matches exactly when the measured code
+    matches."""
+    try:
+        import hashlib
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        paths = [
+            os.path.join(root, "bench.py"),
+            os.path.join(root, "__spark_entry__.py"),
+        ]
+        for dirpath, _dirs, files in os.walk(
+            os.path.join(root, "hbase_tohdfs_spark")
+        ):
+            for f in files:
+                if f.endswith(".py"):
+                    paths.append(os.path.join(dirpath, f))
+        h = hashlib.sha256()
+        for p in sorted(paths):
+            h.update(p.encode())
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()[:16]
+    except Exception:
+        return None
+
+
 def _history_minima(timings: dict[str, float], sf) -> tuple[dict[str, float], int]:
     """Per-query min across this run and every BENCH_HISTORY.jsonl line
     recorded at the same sf AND the same git SHA (identical code only).
@@ -153,8 +185,7 @@ def _history_minima(timings: dict[str, float], sf) -> tuple[dict[str, float], in
     back to the raw timings on any error."""
     try:
         sha = _git_sha()
-        if sha is None:
-            return timings, 0
+        fp = _code_fingerprint()
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
         )
@@ -166,7 +197,14 @@ def _history_minima(timings: dict[str, float], sf) -> tuple[dict[str, float], in
                     line = json.loads(raw_line)
                 except ValueError:
                     continue
-                if line.get("git_sha") != sha or line.get("sf") != sf:
+                if line.get("sf") != sf:
+                    continue
+                # code identity: fingerprint when both sides have one
+                # (immune to artifact-only commits), git sha otherwise
+                if line.get("code_fp") is not None and fp is not None:
+                    if line["code_fp"] != fp:
+                        continue
+                elif sha is None or line.get("git_sha") != sha:
                     continue
                 used += 1
                 for name, sec in (line.get("queries") or {}).items():
@@ -186,6 +224,7 @@ def _append_history(result: dict) -> None:
         line = dict(
             result,
             git_sha=_git_sha(),
+            code_fp=_code_fingerprint(),
             n_runs=2,
             ts=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         )
