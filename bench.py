@@ -56,6 +56,14 @@ def _fresh_session():
 
 
 def main() -> None:
+    # Hard precondition: refuse to bench against drifted testdata.  Drift
+    # cost round 3 its entire bench line (rc=1 mid-run); failing here is
+    # cheaper and names the drifted tables.  SPARK_GRAFT_SKIP_DRIFT_CHECK=1
+    # overrides.
+    from hbase_tohdfs_spark.drift import check_or_raise
+
+    check_or_raise()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = _fresh_session()

@@ -49,25 +49,45 @@ def live_schemas() -> dict[str, dict[str, str]]:
     return out
 
 
-def main() -> int:
+def diff_against_snapshot() -> list[tuple[str, str, str | None, str | None]]:
+    """Return [(sf, table, snapshot_schema, live_schema)] for every drift.
+
+    Diffs over the UNION of snapshot and live keys: an sf dir (or the
+    whole testdata tree) that disappears is drift too — a snapshot entry
+    with no live counterpart reports as '<MISSING DIR>' rather than
+    silently passing."""
+    if not os.path.exists(SNAPSHOT):
+        raise FileNotFoundError(
+            f"no snapshot at {SNAPSHOT}; run check_testdata.py --update first"
+        )
+    with open(SNAPSHOT) as fh:
+        snap = json.load(fh)
     live = live_schemas()
+    drift: list[tuple[str, str, str | None, str | None]] = []
+    for sf in sorted(set(snap) | set(live)):
+        snap_tables = snap.get(sf, {})
+        live_tables = live.get(sf, {})
+        for t in sorted(set(snap_tables) | set(live_tables)):
+            old = snap_tables.get(t)
+            new = live_tables.get(t, "<MISSING DIR>")
+            if old != new:
+                drift.append((sf, t, old, new))
+    return drift
+
+
+def main() -> int:
     if "--update" in sys.argv:
+        live = live_schemas()
         with open(SNAPSHOT, "w") as fh:
             json.dump(live, fh, indent=1, sort_keys=True)
             fh.write("\n")
         print(f"wrote {SNAPSHOT}")
         return 0
-    if not os.path.exists(SNAPSHOT):
-        print(f"no snapshot at {SNAPSHOT}; run with --update first")
+    try:
+        drift = diff_against_snapshot()
+    except FileNotFoundError as exc:
+        print(exc)
         return 1
-    with open(SNAPSHOT) as fh:
-        snap = json.load(fh)
-    drift = []
-    for sf, tables in live.items():
-        for t, schema in tables.items():
-            old = snap.get(sf, {}).get(t)
-            if old != schema:
-                drift.append((sf, t, old, schema))
     if drift:
         print(f"!!! {len(drift)} schema drift(s) vs snapshot:")
         for sf, t, old, new in drift:
