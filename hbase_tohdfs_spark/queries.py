@@ -1540,19 +1540,82 @@ from hbase_tohdfs_spark import queries_pipeline  # noqa: E402
 
 queries_pipeline.register(REGISTRY)
 
-# REGISTRY_ORDER: the correctness driver checks only the FIRST 50 registry
+# REGISTRY ORDER: the correctness driver checks only the FIRST 50 registry
 # entries in dict order, so window position decides which queries get a
-# correctness row each round.  Entries with the longest green streak (the
-# 15 TPC-H shapes and the trivial anti-join — green in rounds 1, 2 AND 3)
-# rotate to the tail; everything else, including the 16 pipeline/curation
-# queries that had never been driver-checked through round 3, sits inside
-# the window.  66 - 16 = exactly 50 checked entries.
-_LONG_GREEN_TAIL = [
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q17", "tpch_q4",
-    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q7", "tpch_q8", "tpch_q13",
-    "tpch_q15", "tpch_q19", "tpch_q22", "customers_without_orders",
-]
-_front = [k for k in REGISTRY if k not in _LONG_GREEN_TAIL]
-_reordered = {k: REGISTRY[k] for k in _front + _LONG_GREEN_TAIL}
+# correctness row each round.  The rotation is computed from the committed
+# CORRECTNESS_r*.json history: the queries whose newest green row is the
+# FRESHEST (and, among those, the most often proven green) rotate to the
+# tail for one round; everything whose evidence is a round old — or that
+# has never been green — sits inside the window.  Because the driver
+# commits CORRECTNESS_r{N}.json before round N+1 imports this module, the
+# schedule self-maintains: no query's newest green row ever ages past one
+# round (round 4's static tail would have parked the TPC-H shapes outside
+# the window forever — ADVICE r4).
+DRIVER_WINDOW = 50
+
+
+def _green_history() -> tuple[dict[str, list[int]], int]:
+    """Scan committed CORRECTNESS_r*.json files -> (name -> sorted green
+    rounds, newest round seen).  A row is green only if rows+schema+hash
+    all matched with no error (rows-only checks don't count as proof)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    greens: dict[str, list[int]] = {}
+    max_round = 0
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (ValueError, OSError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        max_round = max(max_round, rnd)
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+                and not row.get("err")
+            ):
+                greens.setdefault(name, []).append(rnd)
+    return {n: sorted(r) for n, r in greens.items()}, max_round
+
+
+def rotation_tail(registry_names: list[str], window: int = DRIVER_WINDOW) -> list[str]:
+    """The len(registry)-window names to park outside the driver window
+    this round: freshest green evidence first (smallest age since last
+    green), then longest proven streak, then name (an order-independent
+    tie-break, so the same history always yields the same tail no matter
+    how the caller's list is ordered).  Queries never proven green sort
+    last, i.e. always inside the window."""
+    n_tail = max(len(registry_names) - window, 0)
+    if n_tail == 0:
+        return []
+    greens, max_round = _green_history()
+    never = max_round + len(registry_names) + 1  # sorts after any real age
+
+    def key(name: str) -> tuple[int, int, str]:
+        rounds = greens.get(name)
+        age = (max_round - rounds[-1]) if rounds else never
+        streak = len(rounds) if rounds else 0
+        return (age, -streak, name)
+
+    return sorted(registry_names, key=key)[:n_tail]
+
+
+_tail = rotation_tail(list(REGISTRY))
+_front = [k for k in REGISTRY if k not in _tail]
+_reordered = {k: REGISTRY[k] for k in _front + _tail}
 REGISTRY.clear()
 REGISTRY.update(_reordered)

@@ -1,28 +1,20 @@
 """Registry-window invariants.
 
 The correctness driver checks only the FIRST 50 registry entries in dict
-order, so window placement IS the evidence budget: these tests pin the
-rotation protocol (never-yet-proven queries inside the window,
-long-green shapes in the tail) so a future registration can't silently
-push an unproven operator out of driver visibility."""
+order, so window placement IS the evidence budget.  Round 5 replaced the
+static long-green tail with a rotation computed from the committed
+CORRECTNESS_r*.json history; these tests pin the protocol: the tail holds
+only queries whose newest green row is from the most recent round, and
+anything never proven green sits inside the window."""
 
 from __future__ import annotations
 
-from hbase_tohdfs_spark.queries import _LONG_GREEN_TAIL, REGISTRY
-
-DRIVER_WINDOW = 50
-
-# Queries that had never received a driver correctness row through round
-# 3 (rounds 1-2 checked positions 1-50 of the old ordering; round 3
-# crashed on the events ts drift).  They must stay in the window until
-# green rows exist for them.
-NEEDS_EVIDENCE = [
-    "dedup_embedding", "dedup_ngram_jaccard", "ann_topk", "ann_lsh",
-    "ann_ivf", "text_stats", "lang_id", "doc_fingerprints",
-    "multimodal_pipeline", "media_image_pipeline", "assign_splits",
-    "pack_sequences", "contamination_report", "passage_dedup",
-    "kmeans_assign", "curation_pipeline",
-]
+from hbase_tohdfs_spark.queries import (
+    DRIVER_WINDOW,
+    REGISTRY,
+    _green_history,
+    rotation_tail,
+)
 
 
 def test_every_entry_has_an_oracle():
@@ -30,15 +22,38 @@ def test_every_entry_has_an_oracle():
     assert missing == [], f"oracle=None entries get only rows-only checks: {missing}"
 
 
-def test_unproven_queries_sit_inside_driver_window():
-    window = list(REGISTRY)[:DRIVER_WINDOW]
-    out = [n for n in NEEDS_EVIDENCE if n not in window]
-    assert out == [], f"never-driver-checked queries outside the window: {out}"
+def test_tail_matches_recomputed_rotation():
+    names = list(REGISTRY)
+    tail = names[DRIVER_WINDOW:]
+    # registry order was produced BY the rotation, so recompute from the
+    # declaration order implied by (window ++ tail) membership sets
+    assert sorted(tail) == sorted(rotation_tail(names))
 
 
-def test_tail_is_exactly_the_rotated_long_green_set():
+def test_tail_members_have_fresh_green_evidence():
+    greens, max_round = _green_history()
     tail = list(REGISTRY)[DRIVER_WINDOW:]
-    assert sorted(tail) == sorted(_LONG_GREEN_TAIL)
+    stale = [
+        n for n in tail
+        if not greens.get(n) or max_round - greens[n][-1] > 0
+    ]
+    assert stale == [], (
+        f"tail members without a current-round green row: {stale} — their "
+        f"evidence would age past one round while parked outside the window"
+    )
+
+
+def test_never_green_queries_sit_inside_window():
+    greens, _ = _green_history()
+    window = list(REGISTRY)[:DRIVER_WINDOW]
+    unproven = [n for n in REGISTRY if not greens.get(n)]
+    out = [n for n in unproven if n not in window]
+    assert out == [], f"never-proven queries outside the driver window: {out}"
+
+
+def test_window_is_exactly_the_driver_budget():
+    assert len(REGISTRY) >= DRIVER_WINDOW
+    assert len(list(REGISTRY)[DRIVER_WINDOW:]) == len(REGISTRY) - DRIVER_WINDOW
 
 
 def test_bench_queries_exist():
