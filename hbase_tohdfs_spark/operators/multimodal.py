@@ -7,11 +7,14 @@ into object storage with the same downstream schema), metadata is a
 typed struct, and every decode/transform runs as an Arrow-batched
 ``mapInPandas`` so Python cost is amortized per batch, not per row.
 
-The image/audio decode steps themselves are STUBBED — the decode
-libraries (Pillow, torchaudio, ffmpeg) are not in this container.  The
-stubs are deterministic fakes clearly marked as such; the Spark-side
-plumbing (schemas, batch iteration, partitioning) is real and tested,
-and swapping a stub for a real decoder changes one inner function.
+IMAGE decode/resize are REAL: payloads are uncompressed 24-bit BMP
+containers (``formats/bmp.py``, pure stdlib) and ``decode_bmp`` /
+``resize_bmp`` parse headers, strides, and bottom-up pixel rows, then
+compute channel statistics / nearest-neighbor resamples from the actual
+pixel bytes.  The DuckDB oracle replays the pixel-generation formula
+independently, so a parser bug (stride, BGR order, row direction) is a
+value mismatch.  AUDIO decode stays stubbed — torchaudio/ffmpeg are not
+in this container — with the same batch plumbing.
 """
 
 from __future__ import annotations
@@ -23,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from hbase_tohdfs_spark.formats import bmp as bmpfmt
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -94,12 +99,138 @@ def _round_half_away(x: float, digits: int = 6) -> float:
     ) / scale
 
 
+def synth_bmp(seed: bytes) -> bytes:
+    """Render a deterministic tiny BMP from ``md5(seed)``.
+
+    Dimensions and every pixel derive from the digest: width/height are
+    ``4 + d[0] % 13`` / ``4 + d[1] % 13`` (4..16) and the pixel at
+    logical index ``i = y*width + x`` is
+    ``(r, g, b) = (d[(i+11) % 16], d[(i+5) % 16], d[i % 16])``.  The
+    DuckDB oracle replays exactly this formula from ``md5(text)`` hex, so
+    the Spark-side DECODE of the produced container is verified against
+    an independent reconstruction of the pixels."""
+    d = hashlib.md5(seed).digest()
+    w = 4 + d[0] % 13
+    h = 4 + d[1] % 13
+    pixels = [
+        [
+            (d[(y * w + x + 11) % 16], d[(y * w + x + 5) % 16], d[(y * w + x) % 16])
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    return bmpfmt.write_bmp24(w, h, pixels)
+
+
+def attach_bmp_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render each document's text into a real BMP payload + typed
+    metadata via Arrow-batched ``mapInPandas`` — the ingest half of the
+    image pipeline (at real scale this stage is the object-store fetch)."""
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [synth_bmp(str(t).encode("utf-8")) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": blobs,
+                    "meta": [
+                        {"mime": "image/bmp", "n_bytes": len(b)} for b in blobs
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(render, blob_schema)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL image decode: parse the BMP container (header, stride,
+    bottom-up BGR rows) and compute per-channel means from the actual
+    pixel bytes.  Means are in byte units (0..255), rounded to 6 for
+    hash-stable oracle comparison."""
+    w, h, rows = bmpfmt.read_bmp24(payload)
+    n = w * h
+    sums = [0, 0, 0]
+    for row in rows:
+        for r, g, b in row:
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+    return {
+        "width": w,
+        "height": h,
+        "channel_means": [_round_half_away(s / n, 6) for s in sums],
+    }
+
+
+def resize_bmp(payload: bytes, target_w: int = 8, target_h: int = 8) -> dict:
+    """REAL image resize: decode the BMP, nearest-neighbor resample to
+    ``target_w x target_h`` (src index = ``(out * src_dim) // out_dim``),
+    and report channel means of the RESAMPLED pixels."""
+    w, h, rows = bmpfmt.read_bmp24(payload)
+    n = target_w * target_h
+    sums = [0, 0, 0]
+    for ty in range(target_h):
+        sy = (ty * h) // target_h
+        for tx in range(target_w):
+            sx = (tx * w) // target_w
+            r, g, b = rows[sy][sx]
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+    return {
+        "src_width": w,
+        "src_height": h,
+        "width": target_w,
+        "height": target_h,
+        "channel_means": [_round_half_away(s / n, 6) for s in sums],
+    }
+
+
+def resize_bmp_images(
+    blobs: DataFrame, target_w: int = 8, target_h: int = 8
+) -> DataFrame:
+    """Arrow-batched REAL resize over BMP payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [resize_bmp(bytes(b), target_w, target_h) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_width": [f["src_width"] for f in feats],
+                    "src_height": [f["src_height"] for f in feats],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channel_means": [f["channel_means"] for f in feats],
+                }
+            )
+
+    return blobs.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def decode_image_stub(payload: bytes) -> dict:
-    """STUB image decode — deterministic fake (no Pillow/libjpeg here).
+    """FALLBACK fake decode for non-BMP payloads (retired from the image
+    pipeline in round 5 — ``decode_bmp`` is the real path).
 
     Derives a fake (width, height, channel_means) from the content hash
-    so tests exercise real schemas and batch shapes.  Replace the body
-    with ``PIL.Image.open(io.BytesIO(payload))`` in a real deployment.
+    so tests exercise real schemas and batch shapes for formats whose
+    codecs (libjpeg etc.) aren't in this container.
     """
     h = hashlib.md5(payload).digest()
     return {
@@ -202,11 +333,11 @@ def decode_audio_stub(payload: bytes) -> dict:
     )
 
 
-def extract_media_features(
-    blobs: DataFrame, decoder=decode_image_stub
-) -> DataFrame:
-    """Image-shaped feature extraction through the same Arrow plumbing;
-    ``decoder`` is pluggable (stub by default, see decode_image_stub)."""
+def extract_media_features(blobs: DataFrame, decoder=decode_bmp) -> DataFrame:
+    """Image feature extraction through Arrow-batched ``mapInPandas``;
+    ``decoder`` is pluggable — the REAL BMP parser by default, the
+    hash-derived fake (``decode_image_stub``) for payloads whose codecs
+    aren't available here."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

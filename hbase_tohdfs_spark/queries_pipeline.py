@@ -417,12 +417,16 @@ FINGERPRINTS_ORACLE = f"""
 
 # -------------------------------------------------------------- multimodal
 def q_media_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image pipeline stages tagged + unioned at doc grain: 'decode'
-    (stubbed extract_media_features) and 'resize' (stubbed 32x32
-    resize_images).  Two Arrow-batched mapInPandas passes over the same
-    scan; the union adds no exchange."""
+    """REAL image pipeline at doc grain: render each document into an
+    actual uncompressed 24-bit BMP container (attach_bmp_blob), then
+    'decode' = parse header/stride/bottom-up pixel rows and compute
+    channel means, 'resize' = nearest-neighbor 8x8 resample of the real
+    pixels.  Two Arrow-batched mapInPandas passes over the same scan; the
+    union adds no exchange.  The oracle replays the pixel-generation
+    formula (md5-digest bytes) independently in SQL, so any parser bug is
+    a value mismatch — see multimodal.synth_bmp."""
     docs = _t(spark, sf_dir, "documents")
-    blobs = multimodal.attach_blob(docs)
+    blobs = multimodal.attach_bmp_blob(docs)
     feats = multimodal.extract_media_features(blobs).select(
         "doc_id",
         F.lit("decode").alias("stage"),
@@ -434,7 +438,7 @@ def q_media_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("channel_means")[1].alias("cm1"),
         F.col("channel_means")[2].alias("cm2"),
     )
-    resized = multimodal.resize_images(blobs, 32, 32).select(
+    resized = multimodal.resize_bmp_images(blobs, 8, 8).select(
         "doc_id",
         F.lit("resize").alias("stage"),
         "src_width",
@@ -448,25 +452,39 @@ def q_media_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.unionByName(resized)
 
 
+# Replays multimodal.synth_bmp's generative formula: digest byte j of
+# md5(text) is hex chars [2j+1, 2j+2]; pixel i has channels
+# (r, g, b) = bytes ((i+11)%16, (i+5)%16, i%16); width/height are
+# 4 + byte0 % 13 / 4 + byte1 % 13 (so w*h <= 256 bounds the series).
+# The Spark side never sees this formula — it parses the BMP bytes.
 MEDIA_IMAGE_ORACLE = """
     WITH base AS (
-      SELECT doc_id,
-             16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS sw,
-             16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS sh,
-             round(('0x' || substr(md5(text), 5, 2))::INT / 255.0, 6) AS m0,
-             round(('0x' || substr(md5(text), 7, 2))::INT / 255.0, 6) AS m1,
-             round(('0x' || substr(md5(text), 9, 2))::INT / 255.0, 6) AS m2
-      FROM documents)
-    SELECT doc_id, 'decode' AS stage, sw AS src_width, sh AS src_height,
-           sw AS out_width, sh AS out_height,
-           m0 AS cm0, m1 AS cm1, m2 AS cm2
-    FROM base
+      SELECT doc_id, md5(text) AS hx,
+             4 + ('0x' || substr(md5(text), 1, 2))::INT % 13 AS w,
+             4 + ('0x' || substr(md5(text), 3, 2))::INT % 13 AS h
+      FROM documents),
+    px AS (
+      SELECT b.doc_id, b.w, b.h,
+             ('0x' || substr(b.hx, 2*((t.i+11) % 16)+1, 2))::INT AS r,
+             ('0x' || substr(b.hx, 2*((t.i+5) % 16)+1, 2))::INT AS g,
+             ('0x' || substr(b.hx, 2*(t.i % 16)+1, 2))::INT AS bch
+      FROM base b, generate_series(0, 255) AS t(i) WHERE t.i < b.w*b.h),
+    rpx AS (
+      SELECT b.doc_id, b.w, b.h, b.hx,
+             ((((t.i // 8) * b.h) // 8) * b.w + (((t.i % 8) * b.w) // 8)) AS pi
+      FROM base b, generate_series(0, 63) AS t(i))
+    SELECT doc_id, 'decode' AS stage, min(w) AS src_width, min(h) AS src_height,
+           min(w) AS out_width, min(h) AS out_height,
+           round(sum(r)::DOUBLE / (min(w)*min(h)), 6) AS cm0,
+           round(sum(g)::DOUBLE / (min(w)*min(h)), 6) AS cm1,
+           round(sum(bch)::DOUBLE / (min(w)*min(h)), 6) AS cm2
+    FROM px GROUP BY doc_id
     UNION ALL
-    SELECT doc_id, 'resize', sw, sh, 32, 32,
-           round(least(m0 * (1024.0 / (sw * sh)), 1.0), 6),
-           round(least(m1 * (1024.0 / (sw * sh)), 1.0), 6),
-           round(least(m2 * (1024.0 / (sw * sh)), 1.0), 6)
-    FROM base
+    SELECT doc_id, 'resize', min(w), min(h), 8, 8,
+           round(sum(('0x' || substr(hx, 2*((pi+11) % 16)+1, 2))::INT)::DOUBLE / 64, 6),
+           round(sum(('0x' || substr(hx, 2*((pi+5) % 16)+1, 2))::INT)::DOUBLE / 64, 6),
+           round(sum(('0x' || substr(hx, 2*(pi % 16)+1, 2))::INT)::DOUBLE / 64, 6)
+    FROM rpx GROUP BY doc_id
 """
 
 

@@ -292,23 +292,30 @@ def test_multimodal_roundtrip(docs):
     assert feats[1]["head_hex"] == "74686520717569636b"[:16]
 
 
-def test_media_stub_plumbing(docs):
-    blobs = multimodal.attach_blob(docs)
-    feats = multimodal.extract_media_features(blobs).collect()
+def test_media_decode_is_real_bmp_parse(docs):
+    # attach_bmp_blob renders genuine BMP containers; the decode stage
+    # must agree with a driver-side parse of the same bytes.
+    blobs = multimodal.attach_bmp_blob(docs)
+    payloads = {r["doc_id"]: bytes(r["blob"]) for r in blobs.collect()}
+    feats = {r["doc_id"]: r for r in multimodal.extract_media_features(blobs).collect()}
     assert len(feats) == 5
-    for r in feats:
-        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
-        assert len(r["channel_means"]) == 3
+    for doc_id, payload in payloads.items():
+        assert payload[:2] == b"BM"
+        expected = multimodal.decode_bmp(payload)
+        r = feats[doc_id]
+        assert (r["width"], r["height"]) == (expected["width"], expected["height"])
+        assert list(r["channel_means"]) == expected["channel_means"]
+        assert 4 <= r["width"] <= 16 and 4 <= r["height"] <= 16
 
 
 def test_resize_plumbing(docs):
-    blobs = multimodal.attach_blob(docs)
-    rows = {r["doc_id"]: r for r in multimodal.resize_images(blobs, 32, 32).collect()}
+    blobs = multimodal.attach_bmp_blob(docs)
+    rows = {r["doc_id"]: r for r in multimodal.resize_bmp_images(blobs, 8, 8).collect()}
     assert len(rows) == 5
     for r in rows.values():
-        assert (r["width"], r["height"]) == (32, 32)
-        assert 16 <= r["src_width"] < 80
-        assert all(0.0 <= m <= 1.0 for m in r["channel_means"])
+        assert (r["width"], r["height"]) == (8, 8)
+        assert 4 <= r["src_width"] <= 16
+        assert all(0.0 <= m <= 255.0 for m in r["channel_means"])
     assert rows[1]["channel_means"] == rows[2]["channel_means"]  # same payload
 
 
