@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hbase_tohdfs_spark.operators import cacheutil
 from hbase_tohdfs_spark.operators.text import shingle_docs, with_tokens
 
 #: md5-derived bucket in [0, 100) — the same idiom the stratified sampler
@@ -146,9 +147,8 @@ def contamination_report(
     # train and eval sides are different filters of the same frame, so
     # without the cache Spark re-runs the tokenize + df-join chain once
     # per side (self-join branches share no subplan unless identical).
-    # The frames stay cached after the result is consumed (same
-    # convention as minhash_dedup_pairs / shingle_docs): long-lived
-    # sessions should spark.catalog.clearCache() between pipeline runs.
+    # The report (top-1 per contaminated train doc) is materialized
+    # eagerly and both caches released before returning.
     sh = shingle_docs(docs, k).persist()
     postings = (
         sh.filter(F.size("sh") > 0)
@@ -172,11 +172,12 @@ def contamination_report(
     w = Window.partitionBy("doc_id").orderBy(
         F.col("n_common").desc(), F.col("eval_doc_id")
     )
-    return (
+    report = (
         common.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "eval_doc_id", "n_common")
     )
+    return cacheutil.materialize_and_release(report, sh, postings)
 
 
 def passage_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:

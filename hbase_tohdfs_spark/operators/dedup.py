@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hbase_tohdfs_spark.operators import cacheutil
 from hbase_tohdfs_spark.operators.text import shingle_docs, with_tokens
 
 MINHASH_FUNCS = 16
@@ -195,11 +196,14 @@ def minhash_dedup_pairs(
     without a cache barrier Spark re-runs the full tokenize+hash chain
     per consumer (no cross-branch subplan reuse).  This is the standard
     LSH-pipeline shape at any scale — MEMORY_AND_DISK spills instead of
-    OOMing on a big corpus."""
+    OOMing on a big corpus.  The (pair-sized) result is materialized
+    eagerly and the intermediates released before returning, so repeated
+    calls on a long-lived session don't accumulate executor storage."""
     sh_docs = shingle_docs(docs, k).persist()
     sigs = signatures_from_shingles(sh_docs).persist()
     cands = lsh_candidate_pairs(sigs, max_bucket_size=max_bucket_size)
-    return jaccard_verify_from_shingles(sh_docs, cands, threshold)
+    pairs = jaccard_verify_from_shingles(sh_docs, cands, threshold)
+    return cacheutil.materialize_and_release(pairs, sh_docs, sigs)
 
 
 #: drop shingles occurring in more docs than this from the inverted index
@@ -283,12 +287,13 @@ def ngram_jaccard_pairs(
         )
         sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
         sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
-        return (
+        pairs = (
             inter.join(sa, "doc_id_a")
             .join(sb, "doc_id_b")
             .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
+        return cacheutil.materialize_and_release(pairs, sh_docs)
 
     # --- PPJoin path ---------------------------------------------------
     # Rank each doc's rare shingles rarest-first; one shuffle on doc_id
@@ -340,13 +345,14 @@ def ngram_jaccard_pairs(
         F.col("rset").alias("rset_b"),
         F.col("n_full").alias("nb"),
     )
-    return (
+    pairs = (
         cand.join(ra, "doc_id_a")
         .join(rb, "doc_id_b")
         .withColumn("n_common", F.size(F.array_intersect("rset_a", "rset_b")))
         .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    return cacheutil.materialize_and_release(pairs, sh_docs)
 
 
 SIMHASH_BITS = 60
@@ -420,9 +426,10 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     hamming = F.expr("bit_count(sa ^ sb)")
-    return cand.select(
+    pairs = cand.select(
         "doc_id_a", "doc_id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+    return cacheutil.materialize_and_release(pairs, s)
 
 
 def connected_components(
@@ -474,83 +481,95 @@ def connected_components(
     # cheap job that doubles as the persist materialization; a genuinely
     # large graph keeps the session default — the clamp only shrinks,
     # never grows, so cluster deployments are unaffected.
-    n_edges = edges.count()
-    part_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(part_key)
-    session_parts = int(prev_parts) if str(prev_parts).isdigit() else 200
-    loop_parts = max(4, min(session_parts, (n_edges // 500_000) + 1))
-    spark.conf.set(part_key, str(loop_parts))
-    # distinct column names ("lu" vs "u"/"v") — labels derives from edges,
-    # and a shared-lineage self-join on same-named columns is ambiguous
-    labels = (
-        edges.select(F.col("u").alias("lu"))
-        .distinct()
-        .withColumn("component", F.col("lu"))
-        .persist()
-    )
-
     rounds, converged = 0, False
+    labels = None
+    stepped = None
+    finished = False
     try:
-        for it in range(max_iter):
-            rounds = it + 1
-            neighbor_min = (
-                edges.join(labels, F.col("v") == F.col("lu"))
-                .groupBy(F.col("u").alias("nu"))
-                .agg(F.min("component").alias("nmin"))
-            )
-            # The update join carries a per-vertex "did it shrink" flag, so
-            # the convergence check is an aggregate over this cached frame —
-            # not a third join back against the previous labels.
-            stepped = (
-                labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
-                .select(
-                    "lu",
-                    F.least(
-                        "component", F.coalesce("nmin", F.col("component"))
-                    ).alias("component"),
-                    (F.col("nmin") < F.col("component")).alias("chg"),
+        n_edges = edges.count()
+        loop_parts = cacheutil.clamped_partitions(spark, (n_edges // 500_000) + 1)
+        # distinct column names ("lu" vs "u"/"v") — labels derives from
+        # edges, and a shared-lineage self-join on same-named columns is
+        # ambiguous
+        labels = (
+            edges.select(F.col("u").alias("lu"))
+            .distinct()
+            .withColumn("component", F.col("lu"))
+            .persist()
+        )
+        with cacheutil.scoped_shuffle_partitions(spark, loop_parts):
+            for it in range(max_iter):
+                rounds = it + 1
+                neighbor_min = (
+                    edges.join(labels, F.col("v") == F.col("lu"))
+                    .groupBy(F.col("u").alias("nu"))
+                    .agg(F.min("component").alias("nmin"))
                 )
-                .persist()
-            )
-            # Path halving: component <- component(component).  Labels only
-            # ever shrink and every label IS a vertex id, so the pointer
-            # lookup is a keyed self-join that always resolves.  Skipped for
-            # the first two rounds: near-dup components are usually cliques
-            # and short chains that converge by round 2, and the jump join
-            # would be a pure extra shuffle there; from round 3 on, still
-            # being unconverged means a deep chain, where halving turns the
-            # remaining O(diameter) rounds into O(log diameter).
-            if it >= 2:
-                ptr = stepped.select(
-                    F.col("lu").alias("plu"), F.col("component").alias("pcomp")
+                # The update join carries a per-vertex "did it shrink" flag, so
+                # the convergence check is an aggregate over this cached frame —
+                # not a third join back against the previous labels.
+                stepped = (
+                    labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
+                    .select(
+                        "lu",
+                        F.least(
+                            "component", F.coalesce("nmin", F.col("component"))
+                        ).alias("component"),
+                        (F.col("nmin") < F.col("component")).alias("chg"),
+                    )
+                    .persist()
                 )
-                new_labels = stepped.join(
-                    ptr, stepped.component == F.col("plu"), "left"
-                ).select(
-                    "lu",
-                    F.coalesce("pcomp", "component").alias("component"),
-                    (
-                        F.col("chg") | (F.col("pcomp") < F.col("component"))
-                    ).alias("chg"),
-                )
-            else:
-                new_labels = stepped
-            # localCheckpoint, not persist: the jump is a self-join, so an
-            # un-truncated plan doubles per round and Catalyst analysis goes
-            # exponential; eager checkpoint keeps each round's plan constant
-            # (the convergence count forces the frame anyway).
-            new_labels = new_labels.localCheckpoint()
-            changed = new_labels.filter(F.col("chg")).count()
-            stepped.unpersist()
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                converged = True
-                break
+                # Path halving: component <- component(component).  Labels only
+                # ever shrink and every label IS a vertex id, so the pointer
+                # lookup is a keyed self-join that always resolves.  Skipped for
+                # the first two rounds: near-dup components are usually cliques
+                # and short chains that converge by round 2, and the jump join
+                # would be a pure extra shuffle there; from round 3 on, still
+                # being unconverged means a deep chain, where halving turns the
+                # remaining O(diameter) rounds into O(log diameter).
+                if it >= 2:
+                    ptr = stepped.select(
+                        F.col("lu").alias("plu"), F.col("component").alias("pcomp")
+                    )
+                    new_labels = stepped.join(
+                        ptr, stepped.component == F.col("plu"), "left"
+                    ).select(
+                        "lu",
+                        F.coalesce("pcomp", "component").alias("component"),
+                        (
+                            F.col("chg") | (F.col("pcomp") < F.col("component"))
+                        ).alias("chg"),
+                    )
+                else:
+                    new_labels = stepped
+                # localCheckpoint, not persist: the jump is a self-join, so an
+                # un-truncated plan doubles per round and Catalyst analysis goes
+                # exponential; eager checkpoint keeps each round's plan constant
+                # (the convergence count forces the frame anyway).
+                new_labels = new_labels.localCheckpoint()
+                changed = new_labels.filter(F.col("chg")).count()
+                stepped.unpersist()
+                stepped = None
+                labels.unpersist()
+                labels = new_labels
+                if changed == 0:
+                    converged = True
+                    break
+        finished = True
     finally:
-        spark.conf.set(part_key, prev_parts)
+        # Conf restore happens in scoped_shuffle_partitions; the persisted
+        # frames are released here so an exception mid-loop can't leak the
+        # edge/label caches (ADVICE r4).  On the success path `labels` is
+        # the localCheckpoint-ed result being returned — leave it alone.
+        edges.unpersist()
+        if not finished:
+            for frame in (stepped, labels):
+                if frame is not None:
+                    try:
+                        frame.unpersist()
+                    except Exception:  # noqa: BLE001 — best-effort release
+                        pass
 
-    edges.unpersist()
     if not converged:
         warnings.warn(
             f"connected_components did not converge in {max_iter} rounds; "

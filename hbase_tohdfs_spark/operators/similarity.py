@@ -26,6 +26,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hbase_tohdfs_spark.operators import cacheutil
+
 NUM_PLANES = 8
 
 
@@ -205,11 +207,12 @@ def ivf_topk(
     # each (query, vec) pair arises from at most one probed cell.
     scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
+    topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+    return cacheutil.materialize_and_release(topk, assign)
 
 
 #: embedding dimensionality of the test corpus; callers with other dims
@@ -349,39 +352,37 @@ def kmeans_train(
     # More reducers than ~groups/64 is pure per-task overhead, so the
     # loop clamps the shuffle conf for its own jobs (measured 3.3s ->
     # 2.6s at sf0.1) and restores the session value after.
-    part_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(part_key)
-    session_parts = int(prev_parts) if str(prev_parts).isdigit() else 200
-    loop_parts = max(4, min(session_parts, (k * len(centroids[0])) // 64))
-    spark.conf.set(part_key, str(loop_parts))
+    loop_parts = cacheutil.clamped_partitions(
+        spark, (k * len(centroids[0])) // 64
+    )
     try:
-        for _ in range(iters):
-            a = assign(centroids)
-            sums = (
-                a.select("cluster", F.posexplode("v").alias("dim", "x"))
-                .groupBy("cluster", "dim")
-                .agg(
-                    F.sum(F.col("x").cast("decimal(38,12)")).alias("sx"),
-                    F.count(F.lit(1)).alias("n"),
+        with cacheutil.scoped_shuffle_partitions(spark, loop_parts):
+            for _ in range(iters):
+                a = assign(centroids)
+                sums = (
+                    a.select("cluster", F.posexplode("v").alias("dim", "x"))
+                    .groupBy("cluster", "dim")
+                    .agg(
+                        F.sum(F.col("x").cast("decimal(38,12)")).alias("sx"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
-            by_cluster: dict[int, list[tuple[int, float, int]]] = {}
-            for r in sums:
-                by_cluster.setdefault(r["cluster"], []).append(
-                    (r["dim"], r["sx"], r["n"])
-                )
-            for cid, dims in by_cluster.items():
-                vec = centroids[cid][:]
-                for dim, sx, n in dims:
-                    vec[dim] = round(float(sx) / n, 9)
-                centroids[cid] = vec
+                by_cluster: dict[int, list[tuple[int, float, int]]] = {}
+                for r in sums:
+                    by_cluster.setdefault(r["cluster"], []).append(
+                        (r["dim"], r["sx"], r["n"])
+                    )
+                for cid, dims in by_cluster.items():
+                    vec = centroids[cid][:]
+                    for dim, sx, n in dims:
+                        vec[dim] = round(float(sx) / n, 9)
+                    centroids[cid] = vec
     finally:
-        spark.conf.set(part_key, prev_parts)
+        e.unpersist()
 
     final = assign(centroids).select(
         "vid", "cluster", F.round("sq_dist", 6).alias("sq_dist")
     )
     final = final.select(F.col("vid").alias(id_col), "cluster", "sq_dist")
-    e.unpersist()
     return centroids, final

@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hbase_tohdfs_spark.operators import curation, dedup, multimodal, similarity, text
+from hbase_tohdfs_spark.operators import (
+    cacheutil,
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from hbase_tohdfs_spark.operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
@@ -748,11 +755,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term"))
-    return (
+    top = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("lang", "term", "tf", "df", "tfidf", "rk")
     )
+    return cacheutil.materialize_and_release(top, toks, doc_term)
 
 
 TFIDF_TOP_TERMS_ORACLE = f"""

@@ -84,11 +84,11 @@ def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
     """
     import os
 
+    from hbase_tohdfs_spark.operators import cacheutil
+
     spark = agg.sparkSession
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"))
-    try:
+    parts = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"))
+    with cacheutil.scoped_shuffle_partitions(spark, parts):
         name = f"stream_{uuid.uuid4().hex[:8]}"
         q = (
             agg.writeStream.format("memory")
@@ -98,8 +98,6 @@ def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set(key, prev)
     return spark.table(name)
 
 

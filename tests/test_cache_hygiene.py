@@ -1,0 +1,132 @@
+"""Cache and session-conf hygiene (round-4 verdict items 4-5).
+
+Every pipeline operator that persists intermediates must release them
+before returning its (materialized) result — a long-lived session must
+not accumulate executor storage across calls.  Loop operators clamp
+``spark.sql.shuffle.partitions`` only within a guarded scope that
+restores the session value and refuses concurrent clamps."""
+
+from __future__ import annotations
+
+import pytest
+
+from hbase_tohdfs_spark.operators import cacheutil, curation, dedup, similarity
+
+
+def _sql_cache_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (i, f"token{i % 7} common words appear here plus token{i % 5} and token{i}", "en", "s", 60)
+        for i in range(1, 41)
+    ]
+    rows += [(100, rows[0][1], "en", "dup", 60)]
+    return spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [(i, [float((i * j) % 5 + 1) for j in range(8)]) for i in range(1, 31)]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        lambda d: dedup.minhash_dedup_pairs(d, k=3, threshold=0.5),
+        lambda d: dedup.ngram_jaccard_pairs(d, k=2, threshold=0.5),
+        lambda d: dedup.ngram_jaccard_pairs(d, k=2, threshold=0.5, prefix_filter=True),
+        lambda d: dedup.simhash_dup_pairs(d, max_hamming=3),
+        lambda d: curation.contamination_report(d, eval_pct=10, min_common=2),
+    ],
+    ids=["minhash", "ngram", "ngram_ppjoin", "simhash", "contamination"],
+)
+def test_pipeline_ops_release_their_caches(spark, docs, op):
+    spark.catalog.clearCache()
+    result = op(docs)
+    result.count()  # the op already materialized; count is the consumer
+    assert _sql_cache_empty(spark), "operator left frames in the SQL cache"
+
+
+def test_ivf_topk_releases_assignment_cache(spark, vectors):
+    spark.catalog.clearCache()
+    similarity.ivf_topk(vectors, query_ids=[1, 2], k=3, num_cells=4).count()
+    assert _sql_cache_empty(spark)
+
+
+def test_connected_components_releases_and_restores(spark):
+    spark.catalog.clearCache()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id_a: long, doc_id_b: long"
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = dedup.connected_components(pairs)
+    assert out.count() == 5
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert _sql_cache_empty(spark)
+
+
+def test_connected_components_releases_on_failure(spark):
+    # A mid-loop failure must not leak the edge/label caches or the conf.
+    spark.catalog.clearCache()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    bad = spark.createDataFrame(
+        [("1", "2")], "doc_id_a: string, doc_id_b: string"
+    ).selectExpr(
+        "cast(doc_id_a as long) doc_id_a",
+        # ANSI cast failure surfaces when the loop first executes
+        "cast(concat(doc_id_b, 'x') as long) doc_id_b",
+    )
+    with pytest.raises(Exception):
+        dedup.connected_components(bad)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert _sql_cache_empty(spark)
+
+
+def test_kmeans_releases_and_restores(spark, vectors):
+    spark.catalog.clearCache()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    _cents, assigned = similarity.kmeans_train(vectors, k=2, iters=2)
+    assert assigned.count() == 30
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert _sql_cache_empty(spark)
+
+
+def test_nested_clamp_raises(spark):
+    with cacheutil.scoped_shuffle_partitions(spark, 4):
+        with pytest.raises(RuntimeError, match="concurrent shuffle-partition"):
+            with cacheutil.scoped_shuffle_partitions(spark, 2):
+                pass
+    # guard fully released after exit: a fresh clamp works
+    with cacheutil.scoped_shuffle_partitions(spark, 4):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+
+
+def test_clamped_partitions_session_is_true_ceiling(spark):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "2")
+        # ADVICE r4: a session below the floor must NOT be raised to it
+        assert cacheutil.clamped_partitions(spark, 1) == 2
+        spark.conf.set(key, "32")
+        assert cacheutil.clamped_partitions(spark, 1) == 4  # floor applies
+        assert cacheutil.clamped_partitions(spark, 7) == 7
+        assert cacheutil.clamped_partitions(spark, 1000) == 32  # ceiling
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_lazy_plans_env_keeps_plan_lazy(spark, docs, monkeypatch):
+    monkeypatch.setenv(cacheutil.LAZY_PLANS_ENV, "1")
+    spark.catalog.clearCache()
+    result = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
+    # lazy mode: no eager materialization, plan still shows the operator
+    # (intermediates stay cached — plan-dump tooling clears them itself)
+    assert "InMemory" in result._jdf.queryExecution().toString() or not _sql_cache_empty(spark)
+    spark.catalog.clearCache()
