@@ -40,6 +40,9 @@ BENCH_QUERIES = [
 #: ~6s restart cost is wall-clock only, never part of a recorded timing.
 SESSION_RESTART_EVERY = 12
 
+#: intra-process repeats per query, keeping the min (see the loop note).
+N_RUNS_PER_QUERY = 3
+
 
 def _fresh_session():
     spark = get_spark(app_name="bench")
@@ -71,9 +74,12 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
     extra = [n for n in REGISTRY if n not in BENCH_QUERIES]
     timings: dict[str, float] = {}
-    # Min of two runs per query: the first pass absorbs one-off costs
-    # (Python-worker spin-up, codegen, page cache) and scheduler noise,
-    # the min reports steady-state engine time.
+    # Min of three runs per query: the first pass absorbs one-off costs
+    # (Python-worker spin-up, codegen, page cache); this VM also swings
+    # 3-6x run-to-run on identical code (history: dedup_simhash
+    # 0.33-4.35s), so a third intra-process repeat sharpens the noise
+    # floor — the min reports steady-state engine time.  The session is
+    # already warm, so repeats are cheap.
     errors: dict[str, str] = {}
     for qi, name in enumerate(names + extra):
         if qi and qi % SESSION_RESTART_EVERY == 0:
@@ -86,7 +92,7 @@ def main() -> None:
         # round 3 recorded no timings at all because the first failure
         # aborted the run.
         try:
-            for _ in range(2):
+            for _ in range(N_RUNS_PER_QUERY):
                 spark.catalog.clearCache()  # operators may persist()
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
@@ -130,6 +136,12 @@ def main() -> None:
         "sf": sf_val,
         "raw_queries": raw,
         "history_runs_used": runs_used,
+        # Round-over-round totals are only comparable when every query
+        # contributed a timing: errored queries are OMITTED from the sum,
+        # so a smaller denominator would masquerade as a speedup (ADVICE
+        # r4).  complete=false flags the total as incomparable.
+        "complete": not errors,
+        "n_queries_timed": len(smoothed),
     }
     if errors:
         result["errors"] = errors
@@ -233,7 +245,7 @@ def _append_history(result: dict) -> None:
             result,
             git_sha=_git_sha(),
             code_fp=_code_fingerprint(),
-            n_runs=2,
+            n_runs=N_RUNS_PER_QUERY,
             ts=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         )
         path = os.path.join(

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hbase_tohdfs_spark.formats import bmp as bmpfmt
+from hbase_tohdfs_spark.formats import wav as wavfmt
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -326,11 +327,233 @@ def sample_frames(blobs: DataFrame, every: int = 4) -> DataFrame:
 
 
 def decode_audio_stub(payload: bytes) -> dict:
-    """STUB audio decode — raises, documenting the missing dependency."""
+    """STUB decode for COMPRESSED audio — raises, documenting the missing
+    dependency.  Uncompressed PCM has a real path: ``decode_wav`` /
+    ``extract_audio_features`` below (round 5)."""
     raise NotImplementedError(
-        "audio decode requires torchaudio/ffmpeg, unavailable in this "
-        "container; the mapInPandas plumbing is extract_media_features()"
+        "compressed-audio decode requires torchaudio/ffmpeg, unavailable "
+        "in this container; PCM WAV decodes for real via decode_wav()"
     )
+
+
+# ----------------------------------------------------------------- audio
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("channel_rms", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def synth_wav(seed: bytes, sample_rate: int = 8000) -> bytes:
+    """Render a deterministic PCM WAV from ``md5(seed)``: channel count
+    ``1 + d[2] % 2``, length ``64 + d[3] % 64`` samples, and sample
+    ``(i, c) = d[(i + 5c + 7) % 16] * 257 - 32768`` (exact int16).  The
+    DuckDB oracle replays this formula; the Spark side only ever parses
+    the RIFF container."""
+    d = hashlib.md5(seed).digest()
+    n_ch = 1 + d[2] % 2
+    n_samples = 64 + d[3] % 64
+    channels = [
+        [d[(i + 5 * c + 7) % 16] * 257 - 32768 for i in range(n_samples)]
+        for c in range(n_ch)
+    ]
+    return wavfmt.write_wav16(sample_rate, channels)
+
+
+def attach_wav_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render each document into a real PCM WAV payload + typed metadata
+    via Arrow-batched ``mapInPandas``."""
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [synth_wav(str(t).encode("utf-8")) for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": blobs,
+                    "meta": [
+                        {"mime": "audio/wav", "n_bytes": len(b)} for b in blobs
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(render, blob_schema)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode: walk the RIFF chunks, parse interleaved int16
+    PCM, and compute per-channel RMS from the actual samples (rounded to
+    6 for hash-stable oracle comparison)."""
+    import math
+
+    rate, n_ch, chans = wavfmt.read_wav16(payload)
+    n = len(chans[0])
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "n_samples": n,
+        "channel_rms": [
+            _round_half_away(math.sqrt(sum(s * s for s in ch) / n), 6)
+            for ch in chans
+        ],
+    }
+
+
+def extract_audio_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio feature extraction over WAV payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_wav(bytes(b)) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "channel_rms": [f["channel_rms"] for f in feats],
+                }
+            )
+
+    return blobs.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------ video frames
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channel_means", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def synth_bmp_sequence(seed: bytes) -> bytes:
+    """A deterministic "video": ``4 + d[2] % 5`` complete BMP frames
+    back-to-back, frame ``f`` rendered by ``synth_bmp(seed + b':' + f)``.
+    Concatenated BMPs are walkable because each header carries its own
+    file size — the parser must actually read headers to find frame
+    boundaries."""
+    d = hashlib.md5(seed).digest()
+    n_frames = 4 + d[2] % 5
+    return b"".join(
+        synth_bmp(seed + b":" + str(f).encode()) for f in range(n_frames)
+    )
+
+
+def sample_bmp_frames(payload: bytes, every: int = 2) -> list[dict]:
+    """REAL frame sampling: walk the BMP sequence by each frame's
+    self-declared file size, fully decode every ``every``-th frame, and
+    report its dimensions + channel means.  Skipped frames are skipped
+    cheaply (header read only) — the shape a real ffmpeg-based sampler
+    has."""
+    import struct as _struct
+
+    payload = bytes(payload)
+    offsets = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(f"bad frame boundary at byte {pos}")
+        fsize = _struct.unpack_from("<I", payload, pos + 2)[0]
+        offsets.append((pos, fsize))
+        pos += fsize
+    out = []
+    for idx in range(0, len(offsets), every):
+        start, fsize = offsets[idx]
+        feats = decode_bmp(payload[start : start + fsize])
+        out.append(
+            {
+                "n_frames": len(offsets),
+                "frame_idx": idx,
+                "width": feats["width"],
+                "height": feats["height"],
+                "channel_means": feats["channel_means"],
+            }
+        )
+    return out
+
+
+def attach_video_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render each document into a BMP-sequence payload + typed metadata."""
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [
+                synth_bmp_sequence(str(t).encode("utf-8")) for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": blobs,
+                    "meta": [
+                        {"mime": "video/x-bmp-seq", "n_bytes": len(b)}
+                        for b in blobs
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(render, blob_schema)
+
+
+def sample_video_frames(blobs: DataFrame, every: int = 2) -> DataFrame:
+    """Arrow-batched REAL frame sampling: one output row per sampled
+    frame (the row-exploding batch shape of a real video sampler)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "frame_idx": [],
+                "width": [], "height": [], "channel_means": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                for f in sample_bmp_frames(bytes(b), every):
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(f["n_frames"])
+                    out["frame_idx"].append(f["frame_idx"])
+                    out["width"].append(f["width"])
+                    out["height"].append(f["height"])
+                    out["channel_means"].append(f["channel_means"])
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
 def extract_media_features(blobs: DataFrame, decoder=decode_bmp) -> DataFrame:

@@ -495,6 +495,108 @@ MEDIA_IMAGE_ORACLE = """
 """
 
 
+def q_media_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio pipeline at doc grain: render each document into an
+    actual RIFF/WAVE PCM container (attach_wav_blob), then parse the
+    chunk list and interleaved int16 samples and compute per-channel RMS
+    from the decoded waveform.  One Arrow-batched mapInPandas pass.  The
+    oracle replays the sample-generation formula (md5-digest bytes)
+    independently in SQL — see multimodal.synth_wav."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = multimodal.attach_wav_blob(docs)
+    feats = multimodal.extract_audio_features(blobs)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.col("channel_rms")[0].alias("rms0"),
+        F.expr("try_element_at(channel_rms, 2)").alias("rms1"),
+    )
+
+
+# Replays multimodal.synth_wav: channel count 1 + byte2 % 2, length
+# 64 + byte3 % 64 samples, sample (i, c) = byte((i + 5c + 7) % 16) * 257
+# - 32768; rms = round(sqrt(sum(s^2)/n), 6).  The Spark side never sees
+# this formula — it walks the RIFF chunks and reads PCM frames.
+MEDIA_AUDIO_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, md5(text) AS hx,
+             1 + ('0x' || substr(md5(text), 5, 2))::INT % 2 AS n_ch,
+             64 + ('0x' || substr(md5(text), 7, 2))::INT % 64 AS n_s
+      FROM documents),
+    smp AS (
+      SELECT b.doc_id, b.n_ch, b.n_s, c.c,
+             ('0x' || substr(b.hx, 2*((t.i + 5*c.c + 7) % 16)+1, 2))::INT * 257 - 32768 AS s
+      FROM base b, generate_series(0, 127) t(i), generate_series(0, 1) c(c)
+      WHERE t.i < b.n_s AND c.c < b.n_ch),
+    ch AS (
+      SELECT doc_id, min(n_ch) AS n_ch, min(n_s) AS n_s, c,
+             round(sqrt(sum(s::BIGINT * s)::DOUBLE / min(n_s)), 6) AS rms
+      FROM smp GROUP BY doc_id, c)
+    SELECT doc_id, 8000 AS sample_rate, min(n_ch) AS n_channels,
+           min(n_s) AS n_samples,
+           max(CASE WHEN c = 0 THEN rms END) AS rms0,
+           max(CASE WHEN c = 1 THEN rms END) AS rms1
+    FROM ch GROUP BY doc_id
+"""
+
+
+def q_media_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame sampling at frame grain: render each document
+    into a sequence of complete BMP frames (attach_video_blob), walk the
+    container by each frame's self-declared file size, fully decode every
+    2nd frame, and report its dimensions + channel means.  One
+    Arrow-batched mapInPandas pass with row-exploding output — the batch
+    shape of a real ffmpeg-based sampler.  The oracle replays the
+    per-frame pixel formula independently — see
+    multimodal.synth_bmp_sequence."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = multimodal.attach_video_blob(docs)
+    frames = multimodal.sample_video_frames(blobs, every=2)
+    return frames.select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        "width",
+        "height",
+        F.col("channel_means")[0].alias("cm0"),
+        F.col("channel_means")[1].alias("cm1"),
+        F.col("channel_means")[2].alias("cm2"),
+    )
+
+
+# Replays multimodal.synth_bmp_sequence: n_frames = 4 + byte2 % 5, frame
+# f is synth_bmp(text || ':' || f), sampled at stride 2; per-frame pixel
+# replay identical to MEDIA_IMAGE_ORACLE.
+MEDIA_VIDEO_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text, 4 + ('0x' || substr(md5(text), 5, 2))::INT % 5 AS n_frames
+      FROM documents),
+    fr AS (
+      SELECT doc_id, n_frames, t.i AS frame_idx, md5(text || ':' || t.i) AS fhx
+      FROM base, generate_series(0, 8) t(i)
+      WHERE t.i < n_frames AND t.i % 2 = 0),
+    dims AS (
+      SELECT doc_id, n_frames, frame_idx, fhx,
+             4 + ('0x' || substr(fhx, 1, 2))::INT % 13 AS w,
+             4 + ('0x' || substr(fhx, 3, 2))::INT % 13 AS h
+      FROM fr),
+    px AS (
+      SELECT d.doc_id, d.frame_idx, d.n_frames, d.w, d.h,
+             ('0x' || substr(d.fhx, 2*((t.i+11) % 16)+1, 2))::INT AS r,
+             ('0x' || substr(d.fhx, 2*((t.i+5) % 16)+1, 2))::INT AS g,
+             ('0x' || substr(d.fhx, 2*(t.i % 16)+1, 2))::INT AS bch
+      FROM dims d, generate_series(0, 255) t(i) WHERE t.i < d.w*d.h)
+    SELECT doc_id, min(n_frames) AS n_frames, frame_idx, min(w) AS width,
+           min(h) AS height,
+           round(sum(r)::DOUBLE / (min(w)*min(h)), 6) AS cm0,
+           round(sum(g)::DOUBLE / (min(w)*min(h)), 6) AS cm1,
+           round(sum(bch)::DOUBLE / (min(w)*min(h)), 6) AS cm2
+    FROM px GROUP BY doc_id, frame_idx
+"""
+
+
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload features (doc grain) + sampled frames (frame grain)
     tagged + unioned with NULL-padded columns — covers attach_blob,
@@ -1072,6 +1174,12 @@ def register(registry: dict) -> None:
             ),
             "media_image_pipeline": QuerySpec(
                 q_media_image_pipeline, MEDIA_IMAGE_ORACLE
+            ),
+            "media_audio_pipeline": QuerySpec(
+                q_media_audio_pipeline, MEDIA_AUDIO_ORACLE
+            ),
+            "media_video_pipeline": QuerySpec(
+                q_media_video_pipeline, MEDIA_VIDEO_ORACLE
             ),
             "assign_splits": QuerySpec(q_assign_splits, ASSIGN_SPLITS_ORACLE),
             "pack_sequences": QuerySpec(q_pack_sequences, PACK_SEQUENCES_ORACLE),
