@@ -428,35 +428,26 @@ def q_media_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual uncompressed 24-bit BMP container (attach_bmp_blob), then
     'decode' = parse header/stride/bottom-up pixel rows and compute
     channel means, 'resize' = nearest-neighbor 8x8 resample of the real
-    pixels.  Two Arrow-batched mapInPandas passes over the same scan; the
-    union adds no exchange.  The oracle replays the pixel-generation
-    formula (md5-digest bytes) independently in SQL, so any parser bug is
-    a value mismatch — see multimodal.synth_bmp."""
+    pixels.  Decode and resize are FUSED into one Arrow-batched
+    mapInPandas pass (each container parsed once — at scale the payload
+    fetch dominates, so derived features must share it).  The oracle
+    replays the pixel-generation formula (md5-digest bytes) independently
+    in SQL, so any parser bug is a value mismatch — see
+    multimodal.synth_bmp."""
     docs = _t(spark, sf_dir, "documents")
     blobs = multimodal.attach_bmp_blob(docs)
-    feats = multimodal.extract_media_features(blobs).select(
+    stages = multimodal.image_decode_resize(blobs, 8, 8)
+    return stages.select(
         "doc_id",
-        F.lit("decode").alias("stage"),
-        F.col("width").alias("src_width"),
-        F.col("height").alias("src_height"),
-        F.col("width").alias("out_width"),
-        F.col("height").alias("out_height"),
-        F.col("channel_means")[0].alias("cm0"),
-        F.col("channel_means")[1].alias("cm1"),
-        F.col("channel_means")[2].alias("cm2"),
-    )
-    resized = multimodal.resize_bmp_images(blobs, 8, 8).select(
-        "doc_id",
-        F.lit("resize").alias("stage"),
+        "stage",
         "src_width",
         "src_height",
-        F.col("width").alias("out_width"),
-        F.col("height").alias("out_height"),
+        "out_width",
+        "out_height",
         F.col("channel_means")[0].alias("cm0"),
         F.col("channel_means")[1].alias("cm1"),
         F.col("channel_means")[2].alias("cm2"),
     )
-    return feats.unionByName(resized)
 
 
 # Replays multimodal.synth_bmp's generative formula: digest byte j of
