@@ -7,14 +7,15 @@ into object storage with the same downstream schema), metadata is a
 typed struct, and every decode/transform runs as an Arrow-batched
 ``mapInPandas`` so Python cost is amortized per batch, not per row.
 
-IMAGE decode/resize are REAL: payloads are uncompressed 24-bit BMP
-containers (``formats/bmp.py``, pure stdlib) and ``decode_bmp`` /
-``resize_bmp`` parse headers, strides, and bottom-up pixel rows, then
-compute channel statistics / nearest-neighbor resamples from the actual
-pixel bytes.  The DuckDB oracle replays the pixel-generation formula
-independently, so a parser bug (stride, BGR order, row direction) is a
-value mismatch.  AUDIO decode stays stubbed — torchaudio/ffmpeg are not
-in this container — with the same batch plumbing.
+IMAGE, AUDIO, and VIDEO-FRAME decode are REAL: payloads are genuine
+uncompressed containers — 24-bit BMP (``formats/bmp.py``), RIFF/WAVE PCM
+(``formats/wav.py``), and concatenated-BMP frame sequences — and the
+decoders parse headers, strides, chunk lists, and frame boundaries, then
+compute channel statistics from the actual payload bytes.  The DuckDB
+oracles replay the generation formulas independently, so a parser bug
+(stride, BGR order, row direction, chunk alignment) is a value mismatch.
+Only COMPRESSED codecs (jpeg/mp3/h264) are stubbed — their libraries
+aren't in this container — behind the same batch plumbing.
 """
 
 from __future__ import annotations
