@@ -138,6 +138,45 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame, k: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. '21
+    used duplicate-line/n-gram fractions as core quality filters):
+    per doc, the fraction of word-``k``-gram occurrences that are
+    repeats (``1 - distinct/total``) and the share held by the single
+    most frequent ``k``-gram.  High values flag boilerplate, scraped
+    navigation, and degenerate generation loops.
+
+    Scale: explode is a generator; then two keyed shuffles, both with
+    map-side partial aggregation — (doc_id, shingle) counts, then the
+    per-doc rollup.  Per-doc work is linear in document length (no
+    O(L^2) array lambdas).  Docs with fewer than ``k`` tokens have no
+    k-grams and drop out, mirroring the other shingle-family operators.
+    """
+    ex = explode_shingles(shingle_docs(docs, k))
+    counts = ex.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    distinct = F.count(F.lit(1))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            total.alias("n_shingles"),
+            distinct.alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_shingles"), 6
+            ).alias("frac_repeated"),
+            F.round(F.col("top_count") / F.col("n_shingles"), 6).alias(
+                "top_share"
+            ),
+        )
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: distinct-token overlap with per-language
     marker sets; deterministic tie-break by language code order."""

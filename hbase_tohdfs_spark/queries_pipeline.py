@@ -486,6 +486,31 @@ MEDIA_IMAGE_ORACLE = """
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (repeated
+    word-bigram fraction + top-bigram share) — see
+    text.repetition_signals."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_signals(docs, k=2)
+
+
+REPETITION_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    sh2 AS (SELECT doc_id,
+            list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                           i -> array_to_string(t[i:i+1], ' ')) AS s
+            FROM toks WHERE len(t) >= 2),
+    ex AS (SELECT doc_id, unnest(s) AS s FROM sh2),
+    counts AS (SELECT doc_id, s, count(*) AS c FROM ex GROUP BY doc_id, s)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_shingles,
+           count(*) AS n_distinct,
+           round(1 - count(*)::DOUBLE / sum(c), 6) AS frac_repeated,
+           round(max(c)::DOUBLE / sum(c), 6) AS top_share
+    FROM counts GROUP BY doc_id
+"""
+
+
 def q_media_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio pipeline at doc grain: render each document into an
     actual RIFF/WAVE PCM container (attach_wav_blob), then parse the
@@ -1168,6 +1193,9 @@ def register(registry: dict) -> None:
             ),
             "media_audio_pipeline": QuerySpec(
                 q_media_audio_pipeline, MEDIA_AUDIO_ORACLE
+            ),
+            "repetition_signals": QuerySpec(
+                q_repetition_signals, REPETITION_ORACLE
             ),
             "media_video_pipeline": QuerySpec(
                 q_media_video_pipeline, MEDIA_VIDEO_ORACLE

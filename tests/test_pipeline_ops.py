@@ -284,6 +284,25 @@ def test_fingerprint_stability(docs):
     assert a[1] == a[2]  # identical docs -> identical fingerprints
 
 
+def test_repetition_signals_hand_computed(spark):
+    rows = [
+        (1, "spam spam spam spam spam", "en", "s", 24),
+        (2, "all words here are different completely", "en", "s", 39),
+        (3, "el", "es", "s", 2),  # < 2 tokens: no bigrams, drops out
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    )
+    out = {r["doc_id"]: r for r in text.repetition_signals(d, k=2).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: four "spam spam" bigrams -> 1 distinct of 4, top holds all 4
+    assert out[1]["n_shingles"] == 4 and out[1]["n_distinct"] == 1
+    assert out[1]["frac_repeated"] == 0.75 and out[1]["top_share"] == 1.0
+    # doc 2: five distinct bigrams -> nothing repeated
+    assert out[2]["n_shingles"] == 5 and out[2]["n_distinct"] == 5
+    assert out[2]["frac_repeated"] == 0.0 and out[2]["top_share"] == 0.2
+
+
 def test_multimodal_roundtrip(docs):
     blobs = multimodal.attach_blob(docs)
     feats = {r["doc_id"]: r for r in multimodal.extract_features(blobs).collect()}
