@@ -99,6 +99,20 @@ def _build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("TextStats", help="per-document quality metrics")
     s.add_argument("documentsParquet")
     s.add_argument("outputFolder")
+    s.add_argument(
+        "--repetition",
+        action="store_true",
+        help="emit Gopher-style repetition signals instead of text stats",
+    )
+
+    s = sub.add_parser(
+        "Media", help="real media decode pipelines (BMP / PCM WAV / frame seq)"
+    )
+    s.add_argument("documentsParquet")
+    s.add_argument("outputFolder")
+    s.add_argument(
+        "--modality", choices=["image", "audio", "video"], default="image"
+    )
 
     s = sub.add_parser(
         "Curate", help="corpus curation: splits / packing / decontamination"
@@ -223,7 +237,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from hbase_tohdfs_spark.operators import text as text_ops
 
         docs = spark.read.parquet(args.documentsParquet)
-        text_ops.text_stats(docs).write.mode("overwrite").parquet(args.outputFolder)
+        out = (
+            text_ops.repetition_signals(docs)
+            if args.repetition
+            else text_ops.text_stats(docs)
+        )
+        out.write.mode("overwrite").parquet(args.outputFolder)
+    elif args.verb == "Media":
+        from hbase_tohdfs_spark.operators import multimodal
+
+        docs = spark.read.parquet(args.documentsParquet)
+        if args.modality == "image":
+            out = multimodal.image_decode_resize(multimodal.attach_bmp_blob(docs))
+        elif args.modality == "audio":
+            out = multimodal.extract_audio_features(
+                multimodal.attach_wav_blob(docs)
+            )
+        else:
+            out = multimodal.sample_video_frames(
+                multimodal.attach_video_blob(docs)
+            )
+        out.write.mode("overwrite").parquet(args.outputFolder)
     elif args.verb == "Curate":
         from hbase_tohdfs_spark.operators import curation
 

@@ -171,3 +171,41 @@ def test_curate_verb_all_ops(spark, tmp_path):
         assert set(got.columns) == expect_cols
         if op != "decontaminate":  # report may legitimately be empty
             assert got.count() > 0
+
+
+def test_media_verb_all_modalities(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"document body number {i} with several words", "en", "s", 0)
+         for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(docs)
+
+    def run(*args) -> int:
+        return cli.main([str(a) for a in args], spark=spark)
+
+    for modality, expect_cols, min_rows in [
+        ("image", {"doc_id", "stage", "src_width", "src_height", "out_width",
+                   "out_height", "channel_means"}, 20),
+        ("audio", {"doc_id", "sample_rate", "n_channels", "n_samples",
+                   "channel_rms"}, 10),
+        ("video", {"doc_id", "n_frames", "frame_idx", "width", "height",
+                   "channel_means"}, 10),
+    ]:
+        out = str(tmp_path / f"media_{modality}")
+        assert run("Media", docs, out, "--modality", modality) == 0
+        got = spark.read.parquet(out)
+        assert set(got.columns) == expect_cols
+        assert got.count() >= min_rows
+
+
+def test_textstats_repetition_flag(spark, tmp_path):
+    docs = str(tmp_path / "docs_rep")
+    spark.createDataFrame(
+        [(1, "spam spam spam spam", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(docs)
+    out = str(tmp_path / "rep")
+    assert cli.main(["TextStats", docs, out, "--repetition"], spark=spark) == 0
+    got = spark.read.parquet(out).collect()
+    assert got[0]["top_share"] == 1.0
