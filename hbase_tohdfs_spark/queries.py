@@ -951,6 +951,422 @@ _TPCH_Q22_ORACLE = """
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H completion: the 7 remaining query shapes, adapted to this schema.
+# The testdata has no partsupp table, so supplier-part facts are derived
+# from lineitem:  ps_supplycost = min unit price a supplier charged for the
+# part, ps_availqty = total quantity that supplier shipped of it.  The sum
+# is over integer-valued doubles (quantities are 1..50), so it is exact and
+# summation-order-independent without a decimal cast.
+# --------------------------------------------------------------------------
+_PS_CTE = """ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost,
+               sum(l_quantity) AS ps_availqty
+        FROM lineitem GROUP BY 1, 2)"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp: one shuffle on (partkey, suppkey), reused by
+    q2/q9/q11/q16.  At 100 TB this is a partial-agg-combined shuffle whose
+    output is |part|x|supp-per-part| rows — far smaller than lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        ),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated MIN subquery
+    decorrelated into a per-part min + equality join.
+
+    Every dimension side is broadcast: the filtered part list, the
+    supplier->nation->region chain, and the per-part min table (|parts
+    that survive the filter| rows) — so the only shuffle is the derived
+    partsupp aggregation itself.  Double equality on ps_supplycost is
+    safe because both sides of the compare are the *same* stored double.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    elig = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    mn = elig.groupBy(F.col("p_partkey").alias("pk")).agg(
+        F.min("ps_supplycost").alias("mincost")
+    )
+    return (
+        elig.join(
+            F.broadcast(mn),
+            (F.col("p_partkey") == F.col("pk"))
+            & (F.col("ps_supplycost") == F.col("mincost")),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("ps_supplycost", 4).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_TPCH_Q2_ORACLE = f"""
+    WITH {_PS_CTE},
+    elig AS (
+      SELECT p_partkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM part JOIN ps ON p_partkey = ps_partkey
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size = 15 AND p_type = 'PROMO' AND r_name = 'EUROPE'),
+    mn AS (SELECT p_partkey AS pk, min(ps_supplycost) AS mincost
+           FROM elig GROUP BY 1)
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+           round(ps_supplycost, 4) AS supplycost
+    FROM elig JOIN mn ON p_partkey = pk AND ps_supplycost = mincost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): the heaviest join tree in the
+    suite.  lineitem joins the derived partsupp on the composite
+    (partkey, suppkey) — a genuine big-big shuffle join — while part
+    (LIKE-filtered), supplier, nation are broadcast; orders joins on the
+    orderkey.  Profit = revenue minus sourcing cost, decimal-summed."""
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dsum(amount, "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_TPCH_Q9_ORACLE = f"""
+    WITH {_PS_CTE}
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              - ps_supplycost * l_quantity
+                              AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_profit
+    FROM lineitem
+    JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): HAVING against a scalar
+    subquery.  The global total is a 1-row aggregate broadcast-joined
+    against the per-part values; both the per-part and global sums run
+    through exact decimals so the > compare is partitioning-independent."""
+    nps = (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 2)
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty"))
+            .cast("decimal(38,6)")
+            .alias("v"),
+        )
+    )
+    per_part = nps.groupBy("ps_partkey").agg(F.sum("v").alias("vsum"))
+    total = nps.agg(F.sum("v").cast("double").alias("tot"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("vsum").cast("double") > F.lit(0.0008) * F.col("tot"))
+        .select(
+            "ps_partkey",
+            # round the exact decimal, THEN cast: rounding after the
+            # double cast can flip a .xx5 tie differently per engine
+            F.round(F.col("vsum"), 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+_TPCH_Q11_ORACLE = f"""
+    WITH {_PS_CTE},
+    nps AS (SELECT ps_partkey,
+                   CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6)) AS v
+            FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+            WHERE s_nationkey = 2)
+    SELECT ps_partkey, CAST(round(sum(v), 2) AS DOUBLE) AS value
+    FROM nps GROUP BY 1
+    HAVING CAST(sum(v) AS DOUBLE) >
+           0.0008 * (SELECT CAST(sum(v) AS DOUBLE) FROM nps)
+    ORDER BY value DESC, ps_partkey
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority mix): CASE-based
+    conditional counts over an order/lineitem join.  This schema has no
+    l_shipmode/commitdate/receiptdate, so "late" is shipped >90 days
+    after the order date and the group key is l_returnflag."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_TPCH_Q12_ORACLE = """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-part relationship count): COUNT DISTINCT
+    plus a NOT IN subquery.  The excluded-supplier list ("complaints" =
+    negative balance) is NULL-free, so NOT IN is exactly a left-anti
+    join — the scalable form; DuckDB keeps the literal NOT IN."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_TPCH_Q16_ORACLE = f"""
+    WITH {_PS_CTE}
+    SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                             WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess inventory): nested semi-join chain.  With
+    no ps_availqty column, "stock" is the quantity a supplier shipped of
+    a part in 1997 vs 0.5x its 1996 shipments; suppliers of 'small%'
+    parts in region 3 whose 1997 volume exceeds that bound qualify.
+    Quantity sums are integer-valued doubles — exact in any order."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def year_qty(y: int, alias: str) -> DataFrame:
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy(
+                F.col("l_partkey").alias(f"pk{alias}"),
+                F.col("l_suppkey").alias(f"sk{alias}"),
+            )
+            .agg(F.sum("l_quantity").alias(f"q{alias}"))
+        )
+
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        year_qty(1997, "97")
+        .join(
+            year_qty(1996, "96"),
+            (F.col("pk97") == F.col("pk96")) & (F.col("sk97") == F.col("sk96")),
+        )
+        .join(
+            F.broadcast(small),
+            F.col("pk97") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .filter(F.col("q97") > 0.5 * F.col("q96"))
+        .select(F.col("sk97").alias("qual_sk"))
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    return (
+        supp.join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("qual_sk"),
+            "left_semi",
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+_TPCH_Q20_ORACLE = """
+    WITH s96 AS (SELECT l_partkey pk, l_suppkey sk, sum(l_quantity) q96
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1, 2),
+    s97 AS (SELECT l_partkey pk, l_suppkey sk, sum(l_quantity) q97
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY 1, 2)
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 3
+      AND s_suppkey IN (
+        SELECT s97.sk FROM s97
+        JOIN s96 ON s97.pk = s96.pk AND s97.sk = s96.sk
+        JOIN part ON p_partkey = s97.pk
+        WHERE p_name LIKE 'small%' AND s97.q97 > 0.5 * s96.q96)
+    ORDER BY s_name
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS / NOT-EXISTS double self-join, decorrelated into ONE
+    per-order aggregate — count the distinct suppliers and the distinct
+    *late* suppliers (shipped >60 days after the order date, standing in
+    for receipt>commit); an order "waited on" exactly one supplier when
+    n_supp > 1 and n_late = 1, and max(CASE) recovers that supplier
+    without a second pass over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    return (
+        agg.join(F.broadcast(supp), F.col("s_suppkey") == F.col("late_supp"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+_TPCH_Q21_ORACLE = """
+    WITH agg AS (
+      SELECT l_orderkey AS ok,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                                      + INTERVAL 60 DAY
+                                 THEN l_suppkey END) AS n_late,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN l_suppkey END) AS late_supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY 1)
+    SELECT s_name, count(*) AS numwait
+    FROM agg JOIN supplier ON s_suppkey = late_supp
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_supp > 1 AND n_late = 1 AND n_regionkey = 2
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup (batch twin of the streaming pivot)."""
     events = _events(spark, sf_dir)
@@ -1506,6 +1922,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q15": QuerySpec(q_tpch_q15, _TPCH_Q15_ORACLE),
     "tpch_q19": QuerySpec(q_tpch_q19, _TPCH_Q19_ORACLE),
     "tpch_q22": QuerySpec(q_tpch_q22, _TPCH_Q22_ORACLE),
+    "tpch_q2": QuerySpec(q_tpch_q2, _TPCH_Q2_ORACLE),
+    "tpch_q9": QuerySpec(q_tpch_q9, _TPCH_Q9_ORACLE),
+    "tpch_q11": QuerySpec(q_tpch_q11, _TPCH_Q11_ORACLE),
+    "tpch_q12": QuerySpec(q_tpch_q12, _TPCH_Q12_ORACLE),
+    "tpch_q16": QuerySpec(q_tpch_q16, _TPCH_Q16_ORACLE),
+    "tpch_q20": QuerySpec(q_tpch_q20, _TPCH_Q20_ORACLE),
+    "tpch_q21": QuerySpec(q_tpch_q21, _TPCH_Q21_ORACLE),
     "events_hourly_rollup": QuerySpec(q_events_hourly_rollup, _EVENTS_HOURLY_ORACLE),
     "window_running_revenue": QuerySpec(
         q_window_running_revenue, _WINDOW_RUNNING_ORACLE
