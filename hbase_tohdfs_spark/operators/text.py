@@ -204,6 +204,79 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- PII / URLs
+# All patterns are simultaneously valid Java-regex (Spark) and RE2 (DuckDB):
+# no lookaround, no backrefs, character classes and \b/\d only — so the
+# oracle replays them byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+URL_RE = r"https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*"
+DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII detection + redaction: email/phone/IPv4 counts and
+    the md5 of the redacted text (emails -> <EMAIL>, then phones ->
+    <PHONE>, then IPs -> <IP> — the order is part of the contract, since
+    an earlier replacement can destroy a later pattern's match).
+
+    Pure map-side codegen: three regexp_extract_all + a regexp_replace
+    chain per row, zero shuffles — the shape that saturates a 1000-executor
+    scan.  Patterns go through ``F.lit`` so the SQL parser never sees (and
+    eats) the backslashes.
+    """
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(PHONE_RE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(IPV4_RE),
+        F.lit("<IP>"),
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ipv4.alias("n_ipv4"),
+        F.md5(redacted).alias("clean_md5"),
+        ((n_emails + n_phones + n_ipv4) > 0).alias("has_pii"),
+    )
+
+
+def url_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain URL statistics: extract every URL, take its host, count
+    URLs and distinct referencing documents per domain.
+
+    The extract+explode is a generator (no shuffle); the only exchange is
+    the final domain-keyed aggregation with map-side partial agg.  Domain
+    cardinality is bounded by the web's host count, not the corpus size,
+    so the reduce side stays small at any scale.
+    """
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0))
+        ).alias("url"),
+    )
+    return (
+        urls.select(
+            "doc_id", F.regexp_extract("url", DOMAIN_RE, 1).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_urls"), "domain")
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     """Document fingerprinting by winnowing (Schleimer et al., SIGMOD'03):
     hash every k-shingle, keep the minimum hash of each sliding window of

@@ -402,6 +402,125 @@ def _lang_id_oracle() -> str:
     """
 
 
+# ------------------------------------------------------------- PII / URLs
+# The synthetic documents contain no PII or URLs, so these queries PLANT
+# them deterministically from doc_id before scrubbing/extracting — the same
+# synthesize->operate->verify pattern the media pipelines use for blobs.
+# The oracle replays the identical planting, so the regex machinery is
+# exercised against a known ground truth instead of an all-zero corpus.
+_PII_PLANT_SQL = """aug AS (SELECT doc_id, text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256)
+              ELSE '' END AS text
+    FROM documents)"""
+
+
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" contact user"), s(did), F.lit("@example.com")),
+    ).otherwise("")
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad(s(did % 1000), 3, "0"),
+            F.lit("-"),
+            F.lpad(s(did % 10000), 4, "0"),
+        ),
+    ).otherwise("")
+    ip = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" from 10.0."), s(did % 256), F.lit("."), s((did * 3) % 256)
+        ),
+    ).otherwise("")
+    return docs.select(
+        "doc_id", F.concat("text", email, phone, ip).alias("text")
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_scrub(_plant_pii(_t(spark, sf_dir, "documents")))
+
+
+PII_SCRUB_ORACLE = f"""
+    WITH {_PII_PLANT_SQL}
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{text.PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(text, '{text.IPV4_RE}')) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{text.PHONE_RE}', '<PHONE>', 'g'),
+                 '{text.IPV4_RE}', '<IP>', 'g')) AS clean_md5,
+           len(regexp_extract_all(text, '{text.EMAIL_RE}'))
+             + len(regexp_extract_all(text, '{text.PHONE_RE}'))
+             + len(regexp_extract_all(text, '{text.IPV4_RE}')) > 0 AS has_pii
+    FROM aug
+"""
+
+
+_URL_PLANT_SQL = """aug AS (SELECT doc_id, text
+      || CASE WHEN doc_id % 2 = 0
+              THEN ' see https://site' || (doc_id % 20)
+                   || '.example.org/page/' || doc_id ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' img http://cdn' || (doc_id % 5)
+                   || '.example.net/i/' || doc_id || '.png' ELSE '' END AS text
+    FROM documents)"""
+
+
+def _plant_urls(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    u1 = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" see https://site"),
+            s(did % 20),
+            F.lit(".example.org/page/"),
+            s(did),
+        ),
+    ).otherwise("")
+    u2 = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" img http://cdn"),
+            s(did % 5),
+            F.lit(".example.net/i/"),
+            s(did),
+            F.lit(".png"),
+        ),
+    ).otherwise("")
+    return docs.select("doc_id", F.concat("text", u1, u2).alias("text"))
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.url_stats(_plant_urls(_t(spark, sf_dir, "documents")))
+
+
+URL_STATS_ORACLE = f"""
+    WITH {_URL_PLANT_SQL},
+    urls AS (SELECT doc_id, unnest(regexp_extract_all(text, '{text.URL_RE}'))
+                      AS url
+             FROM aug),
+    doms AS (SELECT doc_id, regexp_extract(url, '{text.DOMAIN_RE}', 1)
+                      AS domain
+             FROM urls)
+    SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+    FROM doms GROUP BY 1 ORDER BY n_urls DESC, domain
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_t(spark, sf_dir, "documents"), k=3, window=4)
 
@@ -1185,6 +1304,8 @@ def register(registry: dict) -> None:
             "text_stats": QuerySpec(q_text_stats, _text_stats_oracle()),
             "lang_id": QuerySpec(q_lang_id, _lang_id_oracle()),
             "doc_fingerprints": QuerySpec(q_fingerprints, FINGERPRINTS_ORACLE),
+            "pii_scrub": QuerySpec(q_pii_scrub, PII_SCRUB_ORACLE),
+            "url_stats": QuerySpec(q_url_stats, URL_STATS_ORACLE),
             "multimodal_pipeline": QuerySpec(
                 q_multimodal_pipeline, MULTIMODAL_PIPELINE_ORACLE
             ),

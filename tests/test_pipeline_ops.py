@@ -497,3 +497,38 @@ def test_lsh_buckets_vary_on_mismatched_dim(spark):
         ).collect()
     }
     assert len(buckets) > 4, f"bucket collapse: {buckets}"
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    """Pin the PII contract: counts per category, redaction order
+    (emails, then phones, then IPs), and no-PII passthrough."""
+    rows = [
+        (1, "mail a.b+c@foo-bar.org or x@y.io, call 555-123-4567"),
+        (2, "server at 192.168.0.1 and 10.0.0.255"),
+        (3, "clean text, no pii here; 12-34 and 1.2.3 do not count"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.pii_scrub(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ipv4"]) == (2, 1, 0)
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ipv4"]) == (0, 0, 2)
+    assert out[2]["has_pii"] and not out[3]["has_pii"]
+    # doc 3 is untouched: its clean_md5 equals md5 of the original text
+    import hashlib
+
+    assert out[3]["clean_md5"] == hashlib.md5(rows[2][1].encode()).hexdigest()
+
+
+def test_url_stats_domains(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://a.example.org/x and http://b.example.net/y.png"),
+            (2, "again https://a.example.org/z?not=matched"),
+            (3, "no urls"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["domain"]: r for r in text.url_stats(docs).collect()}
+    assert rows["a.example.org"]["n_urls"] == 2
+    assert rows["a.example.org"]["n_docs"] == 2
+    assert rows["b.example.net"]["n_urls"] == 1
+    assert set(rows) == {"a.example.org", "b.example.net"}
