@@ -279,6 +279,99 @@ def lsh_topk(
     )
 
 
+def sq8_quantization_params(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension scalar-quantization parameters (min, scale) with
+    scale = (max - min) / 255, i.e. 8-bit codes 0..255 per coordinate.
+
+    One tiny aggregation job: posexplode is a generator, the groupBy
+    reduces to d groups regardless of corpus size (map-side partial agg),
+    and the driver receives d rows — model-sized traffic, the same
+    contract as kmeans_train.  min/max of doubles are exact, so the
+    params are bit-identical across engines and partitionings.
+    """
+    rows = (
+        embeddings.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    by_dim = {r["dim"]: (r["mn"], r["mx"]) for r in rows}
+    mns, scs = [], []
+    for d in range(len(by_dim)):
+        mn, mx = by_dim[d]
+        mns.append(mn)
+        scs.append((mx - mn) / 255.0 if mx > mn else 1.0)
+    return mns, scs
+
+
+def _dequant_expr(vec_col: str, mns: list[float], scs: list[float]) -> F.Column:
+    """codes = clamp(round((x - mn)/scale), 0, 255); back to doubles as
+    mn + code*scale.  All positive inputs, so Spark's HALF_UP round and
+    DuckDB's half-away-from-zero agree."""
+    mns_arr = "array(" + ", ".join(f"{v!r}D" for v in mns) + ")"
+    scs_arr = "array(" + ", ".join(f"{v!r}D" for v in scs) + ")"
+    return F.expr(
+        f"transform(sequence(1, size({vec_col})), i ->"
+        f" element_at({mns_arr}, i)"
+        f" + least(greatest(round((cast(element_at({vec_col}, i) as double)"
+        f" - element_at({mns_arr}, i)) / element_at({scs_arr}, i), 0),"
+        f" 0D), 255D) * element_at({scs_arr}, i))"
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k cosine over int8 scalar-quantized embeddings.
+
+    The 100 TB story: a float32 corpus quantized to per-dimension 8-bit
+    codes is 4x smaller in storage, cache, and shuffle — the standard
+    first compression rung of large-scale vector search (SQ8 in
+    FAISS/Milvus terms).  Here the codes are immediately dequantized
+    inside the same codegen expression (keeping the whole plan JVM-side
+    and the DuckDB oracle able to replay it exactly); a production
+    deployment would persist the code arrays and defer dequantization
+    the same way.  Search quality degrades only by the quantization
+    error — measured as recall@k against the exact path in
+    tests/test_ann_recall.py and SCALE.md.
+
+    Output shape matches cosine_topk/lsh_topk/ivf_topk:
+    (query_id, vec_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    mns, scs = sq8_quantization_params(embeddings)
+    e = embeddings.select(
+        "vec_id", _dequant_expr("embedding", mns, scs).alias("dv")
+    ).select("vec_id", "dv", _norm_expr("dv").alias("norm"))
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dv").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        _dot_expr("dv", "qv") / (F.col("norm") * F.col("qnorm")), round_to
+    )
+    scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def kmeans_train(
     embeddings: DataFrame,
     k: int = 8,

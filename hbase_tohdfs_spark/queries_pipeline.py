@@ -226,6 +226,44 @@ ANN_TOPK_ORACLE = f"""
 """
 
 
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(emb, ANN_QUERY_IDS, k=5)
+
+
+# The oracle replays the whole SQ8 pipeline: per-dim min/max -> codes ->
+# dequantize -> exact cosine top-k.  list_transform keeps the dequantized
+# vector in index order so list_dot_product accumulates in the same order
+# as Spark's aggregate.
+ANN_SQ8_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ex AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+           FROM e),
+    stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+    arrs AS (SELECT list(mn ORDER BY dim) AS mns,
+                    list(CASE WHEN mx > mn THEN (mx - mn) / 255
+                              ELSE 1.0 END ORDER BY dim) AS scs
+             FROM stats),
+    dq AS (SELECT vec_id,
+                  list_transform(generate_series(1, len(v)), i ->
+                      mns[i] + least(greatest(round((v[i] - mns[i]) / scs[i],
+                                                    0), 0), 255) * scs[i]) AS dv
+           FROM e CROSS JOIN arrs),
+    e2 AS (SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS norm FROM dq),
+    q AS (SELECT vec_id AS query_id, dv AS qv, norm AS qnorm FROM e2
+          WHERE vec_id < {len(ANN_QUERY_IDS)}),
+    scored AS (SELECT query_id, vec_id,
+                      round(list_dot_product(dv, qv) / (norm * qnorm), 6)
+                        AS cosine
+               FROM e2 CROSS JOIN q WHERE vec_id <> query_id),
+    ranked AS (SELECT query_id, vec_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     planes = similarity.hyperplane_signs(similarity.NUM_PLANES, 64)
@@ -1299,6 +1337,7 @@ def register(registry: dict) -> None:
                 q_dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE
             ),
             "ann_topk": QuerySpec(q_ann_topk, ANN_TOPK_ORACLE),
+            "ann_sq8": QuerySpec(q_ann_sq8, ANN_SQ8_ORACLE),
             "ann_lsh": QuerySpec(q_ann_lsh, _ann_lsh_oracle()),
             "ann_ivf": QuerySpec(q_ann_ivf, ANN_IVF_ORACLE),
             "text_stats": QuerySpec(q_text_stats, _text_stats_oracle()),

@@ -71,3 +71,12 @@ def test_multiprobe_beats_single_probe(clustered, exact):
 def test_ivf_recall_floor(clustered, exact):
     approx = similarity.ivf_topk(clustered, QUERY_IDS, k=5, probes=2)
     assert recall_at_k(exact, approx, 5) >= 0.8
+
+
+def test_sq8_recall_floor(clustered, exact):
+    """8-bit scalar quantization perturbs each coordinate by at most
+    scale/2 ≈ (max-min)/510 — tiny against intra-cluster distances — so
+    SQ8 should be the *highest*-recall approximate path (it searches
+    exhaustively; only the scores are quantized)."""
+    approx = similarity.sq8_topk(clustered, QUERY_IDS, k=5)
+    assert recall_at_k(exact, approx, 5) >= 0.95

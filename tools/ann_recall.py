@@ -54,6 +54,9 @@ def measure(spark, sf_dir: str, k: int = 5) -> dict[str, float]:
     for label, probes in (("ivf_probes1", 1), ("ivf_probes2", 2)):
         approx = similarity.ivf_topk(emb, ANN_QUERY_IDS, k=k, probes=probes)
         out[label] = recall_at_k(exact, approx, k)
+    out["sq8"] = recall_at_k(
+        exact, similarity.sq8_topk(emb, ANN_QUERY_IDS, k=k), k
+    )
     exact.unpersist()
     emb.unpersist()
     return out
