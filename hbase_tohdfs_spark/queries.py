@@ -1479,6 +1479,75 @@ _ROLLUP_ORACLE = """
 """
 
 
+def q_cube_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (lang, source) — all four grouping sets in one pass
+    (rollup_revenue covers ROLLUP; this completes the grouping-sets
+    family).  grouping_id disambiguates subtotal rows from real NULLs;
+    Spark and DuckDB both put the first cube column in the MSB."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select("lang", "source", "grp_id", "n_docs", "sum_chars")
+    )
+
+
+_CUBE_DOC_ORACLE = """
+    SELECT lang, source, GROUPING(lang, source) AS grp_id,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+"""
+
+
+def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + source round-trip: write documents as JSON lines,
+    read them back schema-enforced, and aggregate a content checksum.
+
+    The checksum is an order-independent XOR of a 60-bit md5 prefix of
+    each text — any dropped, duplicated, or corrupted row flips it, so
+    the oracle (which aggregates the ORIGINAL table) proves the
+    round-trip was lossless, not merely row-count-preserving.  JSONL is
+    the interchange format of most public text-corpus pipelines, hence
+    worth the dedicated round-trip proof next to the avro/parquet ones.
+    """
+    import os
+
+    docs = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        "/tmp/hbase_tohdfs_spark_jsonl", os.path.basename(sf_dir.rstrip("/"))
+    )
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(docs.schema).json(out)
+    checksum = F.expr(
+        "bit_xor(cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint))"
+    )
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            checksum.alias("text_xor"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_JSONL_ROUNDTRIP_ORACLE = """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+             AS text_xor
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+"""
+
+
 def q_conditional_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12-style conditional aggregation: high/low line counts per
     order priority via CASE inside SUM."""
@@ -1937,6 +2006,10 @@ REGISTRY: dict[str, QuerySpec] = {
         q_topk_orders_per_priority, _TOPK_PER_PRIORITY_ORACLE
     ),
     "rollup_revenue": QuerySpec(q_rollup_revenue, _ROLLUP_ORACLE),
+    "cube_doc_profile": QuerySpec(q_cube_doc_profile, _CUBE_DOC_ORACLE),
+    "docs_jsonl_roundtrip": QuerySpec(
+        q_docs_jsonl_roundtrip, _JSONL_ROUNDTRIP_ORACLE
+    ),
     "multires_rollup": QuerySpec(q_multires_rollup, _MULTIRES_ORACLE),
     "conditional_agg_priority": QuerySpec(
         q_conditional_agg_priority, _CONDITIONAL_AGG_ORACLE
