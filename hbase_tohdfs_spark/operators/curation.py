@@ -231,3 +231,54 @@ def passage_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:
         F.count(F.when(F.col("kept"), F.lit(1))).alias("n_kept"),
         kept_text.alias("dedup_text"),
     )
+
+
+def domain_rebalance(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixture rebalancing: down-sample every source to the minority
+    source's size — the dominant-domain flattening step of public corpus
+    recipes (The Pile / Dolma style mixture weighting, in its simplest
+    keep-rate form).
+
+    keep_rate(s) = n_min / n_s, applied by a stable md5 bucket of the
+    document id: a doc is kept iff bucket(doc) * n_s < n_min * 1_000_000
+    with bucket in [0, 1e6) — pure integer arithmetic, so DuckDB
+    replays the decision bit-for-bit and the sample is reproducible and
+    resumable at any scale.
+
+    Scale shape: two aggregations whose output is |sources| rows (map-side
+    partial agg; source cardinality is domain-bounded, not corpus-bound),
+    broadcast back onto the scan, and a map-side filter.  The data path
+    itself never shuffles — at 100 TB this is one pass over the corpus.
+    Returns the per-source report (n_before, n_after, frac_kept); the
+    same filter expression applied to the full row set is the
+    materialization path.
+    """
+    bucket = F.expr(
+        f"cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10)"
+        " as bigint) % 1000000"
+    )
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_before"))
+    n_min = counts.agg(F.min("n_before").alias("n_min"))
+    rates = counts.join(F.broadcast(n_min))
+    kept = (
+        docs.select(source_col, bucket.alias("bucket"))
+        .join(F.broadcast(rates), source_col)
+        .filter(F.col("bucket") * F.col("n_before") < F.col("n_min") * 1000000)
+    )
+    after = kept.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_after"))
+    return (
+        rates.join(after, source_col)
+        .select(
+            source_col,
+            "n_before",
+            "n_after",
+            F.round(F.col("n_after") / F.col("n_before"), 4).alias(
+                "frac_kept"
+            ),
+        )
+        .orderBy(source_col)
+    )

@@ -960,6 +960,25 @@ SAMPLE_STRATIFIED_ORACLE = """
 """
 
 
+def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.domain_rebalance(_t(spark, sf_dir, "documents"))
+
+
+DOMAIN_REBALANCE_ORACLE = """
+    WITH counts AS (SELECT source, count(*) AS n_before
+                    FROM documents GROUP BY 1),
+    mn AS (SELECT min(n_before) AS n_min FROM counts),
+    kept AS (SELECT d.source
+             FROM documents d JOIN counts c USING (source) CROSS JOIN mn
+             WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT % 1000000) * c.n_before < mn.n_min * 1000000),
+    after AS (SELECT source, count(*) AS n_after FROM kept GROUP BY 1)
+    SELECT source, n_before, n_after,
+           round(CAST(n_after AS DOUBLE) / n_before, 4) AS frac_kept
+    FROM counts JOIN after USING (source) ORDER BY source
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware exact dedup: within each exact-content group keep the
     longest document (doc_id as tiebreak) instead of the arbitrary first —
@@ -1324,6 +1343,9 @@ def register(registry: dict) -> None:
             "dedup_keep_best": QuerySpec(q_dedup_keep_best, DEDUP_KEEP_BEST_ORACLE),
             "sample_stratified": QuerySpec(
                 q_sample_stratified, SAMPLE_STRATIFIED_ORACLE
+            ),
+            "domain_rebalance": QuerySpec(
+                q_domain_rebalance, DOMAIN_REBALANCE_ORACLE
             ),
             "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, TFIDF_TOP_TERMS_ORACLE),
             "dedup_minhash": QuerySpec(q_dedup_minhash, _minhash_oracle()),

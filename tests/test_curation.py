@@ -146,3 +146,18 @@ def test_passage_dedup_within_doc_repeat(spark):
     out = curation.passage_dedup(docs).collect()[0]
     assert out["n_chunks"] == 2 and out["n_kept"] == 1
     assert out["dedup_text"] == ten
+
+
+def test_domain_rebalance_flattens_to_minority(spark):
+    """The minority source is kept whole; larger sources are cut toward
+    its size; the decision is deterministic across invocations."""
+    from hbase_tohdfs_spark.operators.curation import domain_rebalance
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    rep = {r["source"]: r for r in domain_rebalance(docs).collect()}
+    assert rep["small"]["n_after"] == rep["small"]["n_before"] == 100
+    # md5 buckets are uniform-ish: the big source lands near 100 docs
+    assert 60 <= rep["big"]["n_after"] <= 140
+    rep2 = {r["source"]: r for r in domain_rebalance(docs).collect()}
+    assert rep == rep2
