@@ -1479,6 +1479,121 @@ _ROLLUP_ORACLE = """
 """
 
 
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (the SQL percentile_cont family) of
+    order totals per priority.  Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the standard (1-g)*a + g*b definition, so
+    the doubles agree to the ulp and round(2) renders identically.
+
+    Scale note: exact quantiles sort each group's values; per-group data
+    volume is |orders|/5 here.  At 100 TB the same query would switch to
+    ``approx_percentile`` (t-digest, mergeable map-side) — kept exact
+    here because exactness is what makes it oracle-checkable."""
+    orders = _t(spark, sf_dir, "orders")
+    qs = "array(0.5D, 0.9D, 0.99D)"
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.expr(f"percentile(o_totalprice, {qs})").alias("q"))
+        .select(
+            "o_orderpriority",
+            F.round(F.expr("q[0]"), 2).alias("p50"),
+            F.round(F.expr("q[1]"), 2).alias("p90"),
+            F.round(F.expr("q[2]"), 2).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_PRICE_QUANTILES_ORACLE = """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) deciles of customer balance WITHIN each nation — the
+    partitioned form, so no global single-reducer sort exists anywhere in
+    the plan (an unpartitioned ntile would serialize the corpus through
+    one task at scale).  Output: per (nation, decile) counts and exact
+    decimal balance sums."""
+    cust = _t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_nationkey", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _dsum(F.col("c_acctbal"), "sum_bal"),
+        )
+        .orderBy("c_nationkey", "decile")
+    )
+
+
+_CUSTOMER_DECILES_ORACLE = """
+    WITH d AS (SELECT c_nationkey,
+                      ntile(10) OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal, c_custkey) AS decile,
+                      c_acctbal
+               FROM customer)
+    SELECT c_nationkey, decile, count(*) AS n_cust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS sum_bal
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag,
+    computed from exact decimal moments instead of the built-in ``corr``:
+    plain double moment sums reorder under partitioning and the last
+    digits drift run-to-run; decimal accumulation makes the statistic
+    bit-stable on any cluster layout, and the oracle replays the same
+    chain.  The shuffle carries 6 numbers per group — the mergeable-
+    moments shape that scales to any corpus."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(x)).cast("double").alias("sx"),
+        F.sum(dec(y)).cast("double").alias("sy"),
+        F.sum(dec(x * x)).cast("double").alias("sxx"),
+        F.sum(dec(y * y)).cast("double").alias("syy"),
+        F.sum(dec(x * y)).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(cov / F.sqrt(varx * vary), 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+_QTY_PRICE_CORR_ORACLE = """
+    WITH m AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                      CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+               FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+             AS corr_qty_price
+    FROM m ORDER BY 1
+"""
+
+
 def q_cube_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (lang, source) — all four grouping sets in one pass
     (rollup_revenue covers ROLLUP; this completes the grouping-sets
@@ -2007,6 +2122,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "rollup_revenue": QuerySpec(q_rollup_revenue, _ROLLUP_ORACLE),
     "cube_doc_profile": QuerySpec(q_cube_doc_profile, _CUBE_DOC_ORACLE),
+    "price_quantiles": QuerySpec(q_price_quantiles, _PRICE_QUANTILES_ORACLE),
+    "customer_deciles": QuerySpec(
+        q_customer_deciles, _CUSTOMER_DECILES_ORACLE
+    ),
+    "qty_price_corr": QuerySpec(q_qty_price_corr, _QTY_PRICE_CORR_ORACLE),
     "docs_jsonl_roundtrip": QuerySpec(
         q_docs_jsonl_roundtrip, _JSONL_ROUNDTRIP_ORACLE
     ),
