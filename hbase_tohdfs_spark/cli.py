@@ -88,7 +88,9 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("embeddingsParquet")
     s.add_argument("outputFolder")
     s.add_argument("k", type=int)
-    s.add_argument("--method", choices=["exact", "lsh", "ivf"], default="exact")
+    s.add_argument(
+        "--method", choices=["exact", "lsh", "ivf", "sq8"], default="exact"
+    )
     s.add_argument(
         "--query-ids", default="0,1,2,3,4", help="comma-separated vec_ids"
     )
@@ -114,6 +116,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--modality", choices=["image", "audio", "video"], default="image"
     )
 
+    s = sub.add_parser("Pii", help="PII scrubbing / URL domain stats")
+    s.add_argument("documentsParquet")
+    s.add_argument("outputFolder")
+    s.add_argument("--op", choices=["scrub", "urls"], default="scrub")
+
     s = sub.add_parser(
         "Curate", help="corpus curation: splits / packing / decontamination"
     )
@@ -121,7 +128,7 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("outputFolder")
     s.add_argument(
         "--op",
-        choices=["split", "pack", "decontaminate", "passage-dedup"],
+        choices=["split", "pack", "decontaminate", "passage-dedup", "rebalance"],
         default="split",
     )
     s.add_argument("--group-col", default="source", help="split hash group")
@@ -230,6 +237,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             out = similarity.cosine_topk(emb, qids, args.k)
         elif args.method == "lsh":
             out = similarity.lsh_topk(emb, qids, args.k, dim=args.dim)
+        elif args.method == "sq8":
+            out = similarity.sq8_topk(emb, qids, args.k)
         else:
             out = similarity.ivf_topk(emb, qids, args.k)
         out.write.mode("overwrite").parquet(args.outputFolder)
@@ -241,6 +250,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             text_ops.repetition_signals(docs)
             if args.repetition
             else text_ops.text_stats(docs)
+        )
+        out.write.mode("overwrite").parquet(args.outputFolder)
+    elif args.verb == "Pii":
+        from hbase_tohdfs_spark.operators import text as text_ops
+
+        docs = spark.read.parquet(args.documentsParquet)
+        out = (
+            text_ops.pii_scrub(docs)
+            if args.op == "scrub"
+            else text_ops.url_stats(docs)
         )
         out.write.mode("overwrite").parquet(args.outputFolder)
     elif args.verb == "Media":
@@ -270,6 +289,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
         elif args.op == "decontaminate":
             out = curation.contamination_report(docs, eval_pct=args.eval_pct)
+        elif args.op == "rebalance":
+            out = curation.domain_rebalance(docs)
         else:
             out = curation.passage_dedup(docs, chunk_tokens=args.chunk_tokens)
         out.write.mode("overwrite").parquet(args.outputFolder)

@@ -209,3 +209,51 @@ def test_textstats_repetition_flag(spark, tmp_path):
     assert cli.main(["TextStats", docs, out, "--repetition"], spark=spark) == 0
     got = spark.read.parquet(out).collect()
     assert got[0]["top_share"] == 1.0
+
+
+def test_pii_verb_and_new_choices(spark, tmp_path):
+    """Pii verb writes parquet for both ops; Curate --op rebalance and
+    AnnTopK --method sq8 are wired through."""
+    docs = str(tmp_path / "docs_pii")
+    spark.createDataFrame(
+        [
+            (1, "mail me at a@b.org or visit https://x.example.com/p", "en",
+             "s0", 0),
+            (2, "call 555-123-4567 from 10.0.0.1", "en", "s1", 0),
+            (3, "nothing here", "en", "s1", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(docs)
+
+    def run(*args) -> int:
+        from hbase_tohdfs_spark import cli
+
+        return cli.main([str(a) for a in args], spark=spark)
+
+    out = str(tmp_path / "out_scrub")
+    assert run("Pii", docs, out) == 0
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["n_emails"] == 1 and got[2]["n_phones"] == 1
+    assert not got[3]["has_pii"]
+
+    out = str(tmp_path / "out_urls")
+    assert run("Pii", docs, out, "--op", "urls") == 0
+    doms = {r["domain"] for r in spark.read.parquet(out).collect()}
+    assert doms == {"x.example.com"}
+
+    out = str(tmp_path / "out_rebalance")
+    assert run("Curate", docs, out, "--op", "rebalance") == 0
+    assert set(spark.read.parquet(out).columns) == {
+        "source", "n_before", "n_after", "frac_kept"
+    }
+
+    emb = str(tmp_path / "emb_sq8")
+    spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(emb)
+    out = str(tmp_path / "out_sq8")
+    assert run("AnnTopK", emb, out, 3, "--method", "sq8",
+               "--query-ids", "0,1") == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 6  # 2 queries x k=3
