@@ -249,19 +249,28 @@ def domain_rebalance(
     replays the decision bit-for-bit and the sample is reproducible and
     resumable at any scale.
 
-    Scale shape: two aggregations whose output is |sources| rows (map-side
-    partial agg; source cardinality is domain-bounded, not corpus-bound),
-    broadcast back onto the scan, and a map-side filter.  The data path
-    itself never shuffles — at 100 TB this is one pass over the corpus.
-    Returns the per-source report (n_before, n_after, frac_kept); the
-    same filter expression applied to the full row set is the
-    materialization path.
+    Scale shape: two corpus passes minimum by construction (rates need
+    the counts before the filter can run), each a map-side-partial
+    aggregation whose reduce side is |sources| rows — source cardinality
+    is domain-bounded, not corpus-bound.  The counts frame is persisted
+    so its three consumers don't re-scan, and released on return.  The
+    corpus itself is never shuffled, only filtered under a broadcast of
+    the rates.  Returns the per-source report (n_before, n_after,
+    frac_kept); the same filter expression applied to the full row set
+    is the materialization path.
     """
     bucket = F.expr(
         f"cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10)"
         " as bigint) % 1000000"
     )
-    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_before"))
+    # counts is |sources| rows but its lineage is a corpus scan — persist
+    # it so the three consumers (rates, the keep filter, the report join)
+    # cost ONE counting pass, not three; released after materialization.
+    counts = (
+        docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_before"))
+        .persist()
+    )
     n_min = counts.agg(F.min("n_before").alias("n_min"))
     rates = counts.join(F.broadcast(n_min))
     kept = (
@@ -270,7 +279,7 @@ def domain_rebalance(
         .filter(F.col("bucket") * F.col("n_before") < F.col("n_min") * 1000000)
     )
     after = kept.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_after"))
-    return (
+    report = (
         rates.join(after, source_col)
         .select(
             source_col,
@@ -282,3 +291,4 @@ def domain_rebalance(
         )
         .orderBy(source_col)
     )
+    return cacheutil.materialize_and_release(report, counts)
