@@ -60,3 +60,16 @@ def test_bench_queries_exist():
     from bench import BENCH_QUERIES
 
     assert all(n in REGISTRY for n in BENCH_QUERIES)
+
+
+def test_registry_fits_two_round_rotation():
+    """With a 50-entry window, the no-green-row-older-than-one-round
+    invariant is satisfiable only while the registry holds at most
+    2 x DRIVER_WINDOW queries (window covers half the registry per
+    round).  Fail loudly BEFORE an addition silently makes the
+    guarantee impossible."""
+    assert len(REGISTRY) <= 2 * DRIVER_WINDOW, (
+        f"{len(REGISTRY)} queries > {2 * DRIVER_WINDOW}: the rotation can "
+        "no longer refresh every query's green row within one round — "
+        "either raise the driver window or retire queries"
+    )
