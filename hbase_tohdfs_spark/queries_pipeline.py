@@ -960,6 +960,27 @@ SAMPLE_STRATIFIED_ORACLE = """
 """
 
 
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the KMV sketch (k=64, below
+    the ~150 distinct users per type at the gate SF so the ESTIMATOR
+    path is what the oracle checks, not just the exact fill path) — the
+    oracle-checkable stand-in for approx_count_distinct, whose HLL++
+    registers no independent engine can replay."""
+    from hbase_tohdfs_spark.operators import sketch
+
+    from hbase_tohdfs_spark.queries import _events
+
+    return sketch.kmv_distinct(
+        _events(spark, sf_dir), "event_type", "user_id", k=64
+    )
+
+
+def _kmv_oracle() -> str:
+    from hbase_tohdfs_spark.operators import sketch
+
+    return sketch.kmv_oracle_sql("events", "event_type", "user_id", k=64)
+
+
 def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.domain_rebalance(_t(spark, sf_dir, "documents"))
 
@@ -1347,6 +1368,7 @@ def register(registry: dict) -> None:
             "domain_rebalance": QuerySpec(
                 q_domain_rebalance, DOMAIN_REBALANCE_ORACLE
             ),
+            "kmv_distinct_users": QuerySpec(q_kmv_distinct_users, _kmv_oracle()),
             "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, TFIDF_TOP_TERMS_ORACLE),
             "dedup_minhash": QuerySpec(q_dedup_minhash, _minhash_oracle()),
             "dedup_components": QuerySpec(q_dedup_components, _components_oracle()),

@@ -532,3 +532,51 @@ def test_url_stats_domains(spark):
     assert rows["a.example.org"]["n_docs"] == 2
     assert rows["b.example.net"]["n_urls"] == 1
     assert set(rows) == {"a.example.org", "b.example.net"}
+
+
+def test_kmv_distinct_error_band(spark):
+    """KMV estimate is exact below k and within the theoretical
+    ~3/sqrt(k-2) band (≈3 sigma) above it, across group cardinalities."""
+    from hbase_tohdfs_spark.operators import sketch
+
+    rows = [("small", f"u{i}") for i in range(40)]
+    rows += [("big", f"v{i}") for i in range(5000)]
+    rows += rows[:100]  # duplicates must not occupy sketch slots
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = {r["grp"]: r for r in sketch.kmv_distinct(df, "grp", "val", k=64).collect()}
+    assert out["small"]["n_kmv"] == 40.0  # exact below k
+    rel_err = abs(out["big"]["n_kmv"] - 5000) / 5000
+    assert rel_err < 3 / (62 ** 0.5), f"rel_err={rel_err:.3f}"
+
+
+def test_pii_regexes_match_python_re(spark):
+    """Property: Spark's Java-regex counts equal Python re's on adversarial
+    text drawn from a PII-shaped alphabet (guards against dialect drift in
+    \\b, classes, and quantifiers across the three patterns)."""
+    import re as pyre
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "ab1.@-%_ x\n5"
+    pats = {
+        "n_emails": pyre.compile(text.EMAIL_RE),
+        "n_phones": pyre.compile(text.PHONE_RE),
+        "n_ipv4": pyre.compile(text.IPV4_RE),
+    }
+    corpus: list[str] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=0, max_size=40))
+    def collect(s):
+        corpus.append(s)
+
+    collect()
+    corpus += ["a@b.co 555-123-4567 1.2.3.4", "x@y.zz@q.ww", "999.999.999.999"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    for i, s in enumerate(corpus):
+        for fld, pat in pats.items():
+            assert got[i][fld] == len(pat.findall(s)), (fld, repr(s))
