@@ -965,11 +965,35 @@ _PS_CTE = """ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
         FROM lineitem GROUP BY 1, 2)"""
 
 
-def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _partsupp(
+    spark: SparkSession,
+    sf_dir: str,
+    part_filter: DataFrame | None = None,
+    supp_filter: DataFrame | None = None,
+) -> DataFrame:
     """The derived partsupp: one shuffle on (partkey, suppkey), reused by
     q2/q9/q11/q16.  At 100 TB this is a partial-agg-combined shuffle whose
-    output is |part|x|supp-per-part| rows — far smaller than lineitem."""
+    output is |part|x|supp-per-part| rows — far smaller than lineitem.
+
+    ``part_filter`` / ``supp_filter`` (single-column key frames) are
+    broadcast-semi-joined BELOW the aggregation: per-(part, supp) facts
+    for the surviving keys are unchanged by dropping other keys' rows,
+    and Catalyst cannot push a dimension filter through the agg by
+    itself — doing it here shrinks the shuffle 10-100x for the selective
+    queries (q2 aggregates 0.3% of lineitem instead of all of it)."""
     li = _t(spark, sf_dir, "lineitem")
+    if part_filter is not None:
+        li = li.join(
+            F.broadcast(part_filter),
+            F.col("l_partkey") == part_filter[part_filter.columns[0]],
+            "left_semi",
+        )
+    if supp_filter is not None:
+        li = li.join(
+            F.broadcast(supp_filter),
+            F.col("l_suppkey") == supp_filter[supp_filter.columns[0]],
+            "left_semi",
+        )
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
@@ -1007,7 +1031,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     elig = (
-        _partsupp(spark, sf_dir)
+        _partsupp(spark, sf_dir, part_filter=part.select("p_partkey"))
         .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
@@ -1057,9 +1081,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partkey, suppkey) — a genuine big-big shuffle join — while part
     (LIKE-filtered), supplier, nation are broadcast; orders joins on the
     orderkey.  Profit = revenue minus sourcing cost, decimal-summed."""
-    ps = _partsupp(spark, sf_dir)
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    ps = _partsupp(spark, sf_dir, part_filter=part.select("p_partkey"))
     supp = _t(spark, sf_dir, "supplier").join(
         F.broadcast(_t(spark, sf_dir, "nation")),
         F.col("s_nationkey") == F.col("n_nationkey"),
@@ -1108,12 +1132,15 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery.  The global total is a 1-row aggregate broadcast-joined
     against the per-part values; both the per-part and global sums run
     through exact decimals so the > compare is partitioning-independent."""
+    nation_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == 2
+    )
     nps = (
-        _partsupp(spark, sf_dir)
+        _partsupp(
+            spark, sf_dir, supp_filter=nation_supp.select("s_suppkey")
+        )
         .join(
-            F.broadcast(
-                _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 2)
-            ),
+            F.broadcast(nation_supp),
             F.col("ps_suppkey") == F.col("s_suppkey"),
         )
         .select(
@@ -1192,12 +1219,12 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a NOT IN subquery.  The excluded-supplier list ("complaints" =
     negative balance) is NULL-free, so NOT IN is exactly a left-anti
     join — the scalable form; DuckDB keeps the literal NOT IN."""
-    ps = _partsupp(spark, sf_dir)
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
         & (~F.col("p_type").like("PROMO%"))
         & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
     )
+    ps = _partsupp(spark, sf_dir, part_filter=part.select("p_partkey"))
     bad = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
@@ -1234,7 +1261,19 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     a part in 1997 vs 0.5x its 1996 shipments; suppliers of 'small%'
     parts in region 3 whose 1997 volume exceeds that bound qualify.
     Quantity sums are integer-valued doubles — exact in any order."""
-    li = _t(spark, sf_dir, "lineitem")
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    # The part restriction is semi-joined BELOW both year aggregations —
+    # only 'small%' parts' lineitems are worth aggregating at all (the
+    # same agg-shrinking move as _partsupp's part_filter).
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(small),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
 
     def year_qty(y: int, alias: str) -> DataFrame:
         return (
@@ -1248,22 +1287,11 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(F.sum("l_quantity").alias(f"q{alias}"))
         )
-
-    small = (
-        _t(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("small%"))
-        .select("p_partkey")
-    )
     qualifying = (
         year_qty(1997, "97")
         .join(
             year_qty(1996, "96"),
             (F.col("pk97") == F.col("pk96")) & (F.col("sk97") == F.col("sk96")),
-        )
-        .join(
-            F.broadcast(small),
-            F.col("pk97") == F.col("p_partkey"),
-            "left_semi",
         )
         .filter(F.col("q97") > 0.5 * F.col("q96"))
         .select(F.col("sk97").alias("qual_sk"))
