@@ -298,3 +298,100 @@ def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fp").alias("min_fingerprint"),
     )
+
+
+# ------------------------------------------------------ LM-quality / BM25
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-trained unigram log-probability per document — the simplest
+    member of the LM-perplexity quality-filter family (CCNet filters on
+    KenLM perplexity; the unigram model keeps the exact same pipeline
+    shape while staying closed-form and oracle-replayable).
+
+    Two passes over the tokenized corpus: one to train (token counts,
+    map-side partial agg) and one to score (explode + join the count
+    table on the token key — vocabulary-sized, the canonical dictionary
+    join at scale).  Per-document averaging accumulates the logs as
+    DECIMAL(38,12) so the sum is partitioning-independent; the ~1-ulp
+    libm ln() differences across engines sit 8 orders of magnitude
+    below the round(4) output grid.
+    """
+    toks = with_tokens(docs).select(
+        "doc_id", F.explode("tokens").alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("tot"))
+    lp = F.log(F.col("c") / F.col("tot"))
+    return (
+        toks.join(counts, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(lp.cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame, query_terms: list[str], k: int = 20
+) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents for a fixed term query —
+    the exact-match complement of the embedding ANN paths (used in
+    practice for eval-set decontamination lookups and corpus search).
+
+    Okapi BM25 with the standard positive idf
+    ln(1 + (N - df + 0.5)/(df + 0.5)).  The per-(doc, term) tf rows are
+    filtered to the query terms BEFORE the aggregation (the same
+    agg-shrinking move as the TPC-H derived partsupp), so the shuffle
+    carries |docs hitting a query term| rows, not the corpus.  df and
+    avgdl are tiny aggregates broadcast into the scoring expression.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    d = with_tokens(docs).select(
+        "doc_id", "tokens", F.size("tokens").alias("dl")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            "dl",
+            F.explode("tokens").alias("tok"),
+        )
+        .filter(F.array_contains(terms, F.col("tok")))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), "doc_id").limit(k)
+    )

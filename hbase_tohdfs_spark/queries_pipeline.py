@@ -440,6 +440,57 @@ def _lang_id_oracle() -> str:
     """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+UNIGRAM_LOGPROB_ORACLE = f"""
+    WITH {_TOKS_CTE},
+    ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    counts AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
+    total AS (SELECT sum(c) AS tot FROM counts),
+    lp AS (SELECT doc_id,
+                  CAST(ln(CAST(c AS DOUBLE) / tot) AS DECIMAL(38,12)) AS l
+           FROM ex JOIN counts USING (tok) CROSS JOIN total)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(sum(l) AS DOUBLE) / count(*), 4) AS avg_logprob
+    FROM lp GROUP BY 1
+"""
+
+
+BM25_QUERY_TERMS = ["table", "window", "spark"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=20
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    k1, b = text.BM25_K1, text.BM25_B
+    return f"""
+    WITH {_TOKS_CTE},
+    d AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+    tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(t) AS tok FROM d)
+           WHERE tok IN ({terms})
+           GROUP BY 1, 2, 3),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (SELECT doc_id,
+                      round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                                * (tf * ({k1} + 1))
+                                / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))),
+                            6) AS bm25
+               FROM tf JOIN dft USING (tok) CROSS JOIN stats
+               GROUP BY 1)
+    SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
 # ------------------------------------------------------------- PII / URLs
 # The synthetic documents contain no PII or URLs, so these queries PLANT
 # them deterministically from doc_id before scrubbing/extracting — the same
@@ -1388,6 +1439,10 @@ def register(registry: dict) -> None:
             "lang_id": QuerySpec(q_lang_id, _lang_id_oracle()),
             "doc_fingerprints": QuerySpec(q_fingerprints, FINGERPRINTS_ORACLE),
             "pii_scrub": QuerySpec(q_pii_scrub, PII_SCRUB_ORACLE),
+            "unigram_logprob": QuerySpec(
+                q_unigram_logprob, UNIGRAM_LOGPROB_ORACLE
+            ),
+            "bm25_topk": QuerySpec(q_bm25_topk, _bm25_oracle()),
             "url_stats": QuerySpec(q_url_stats, URL_STATS_ORACLE),
             "multimodal_pipeline": QuerySpec(
                 q_multimodal_pipeline, MULTIMODAL_PIPELINE_ORACLE

@@ -580,3 +580,27 @@ def test_pii_regexes_match_python_re(spark):
     for i, s in enumerate(corpus):
         for fld, pat in pats.items():
             assert got[i][fld] == len(pat.findall(s)), (fld, repr(s))
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "table table window spark table"),
+            (2, "table and nothing else here at all in this longer doc"),
+            (3, "no relevant words whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.bm25_topk(docs, ["table", "window", "spark"], k=5).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 1 and 3 not in ids
+
+
+def test_unigram_logprob_prefers_common_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "common common common"), (2, "rare"), (3, "common common")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["avg_logprob"] for r in
+           text.unigram_logprob(docs).collect()}
+    assert out[1] > out[2]  # common tokens -> higher (less negative) logprob
