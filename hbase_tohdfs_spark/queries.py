@@ -221,6 +221,39 @@ def q_generator_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kv_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5+P2 extension: LWW upsert/compaction — merge a later delta batch
+    (same run id, overlapping row keys, ts offset +100000 so every
+    colliding cell is overwritten) into the base table and keep the
+    newest version per cell coordinate.  The KV analogue of MERGE, and
+    the batch form of an HBase major compaction."""
+    from hbase_tohdfs_spark import table as tbl
+
+    base = generate.populate_cells(spark, 2, 500, "bench")
+    delta = generate.populate_cells(spark, 1, 200, "bench").withColumn(
+        "ts", F.col("ts") + F.lit(100000)
+    )
+    merged = tbl.upsert_cells(base, delta)
+    return merged.select(
+        "row_key",
+        "cf",
+        "qualifier",
+        F.col("value").cast("string").alias("value_str"),
+        "ts",
+    )
+
+
+_KV_UPSERT_ORACLE = f"""
+    WITH base AS ({generate.populate_cells_oracle_sql(2, 500, "bench")}),
+    delta AS (SELECT row_key, cf, qualifier, value_str, ts + 100000 AS ts
+              FROM ({generate.populate_cells_oracle_sql(1, 200, "bench")})),
+    allc AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+    SELECT row_key, cf, qualifier,
+           arg_max(value_str, ts) AS value_str, max(ts) AS ts
+    FROM allc GROUP BY 1, 2, 3
+"""
+
+
 def q_reader_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6: the console-reader limit — the reference's only top-k."""
     orders = _t(spark, sf_dir, "orders")
@@ -2119,6 +2152,7 @@ REGISTRY: dict[str, QuerySpec] = {
         ),
     ),
     "reader_limit": QuerySpec(q_reader_limit, _READER_LIMIT_ORACLE),
+    "kv_upsert_compact": QuerySpec(q_kv_upsert_compact, _KV_UPSERT_ORACLE),
     "tpch_q1": QuerySpec(q_tpch_q1, _TPCH_Q1_ORACLE),
     "tpch_q3": QuerySpec(q_tpch_q3, _TPCH_Q3_ORACLE),
     "tpch_q5": QuerySpec(q_tpch_q5, _TPCH_Q5_ORACLE),

@@ -882,6 +882,12 @@ def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_rollup_stream(spark, sf_dir)
 
 
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_tohdfs_spark.streaming.pivot_stream import kmv_distinct_stream
+
+    return kmv_distinct_stream(spark, sf_dir, k=64)
+
+
 def q_stream_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_tohdfs_spark.streaming.pivot_stream import last_event_pivot_stream
 
@@ -1420,6 +1426,10 @@ def register(registry: dict) -> None:
                 q_domain_rebalance, DOMAIN_REBALANCE_ORACLE
             ),
             "kmv_distinct_users": QuerySpec(q_kmv_distinct_users, _kmv_oracle()),
+            # the streaming sketch's final state equals the batch sketch
+            # (bottom-k-of-distinct is merge-order-insensitive), so it
+            # shares the batch oracle verbatim
+            "stream_kmv_distinct": QuerySpec(q_stream_kmv_distinct, _kmv_oracle()),
             "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, TFIDF_TOP_TERMS_ORACLE),
             "dedup_minhash": QuerySpec(q_dedup_minhash, _minhash_oracle()),
             "dedup_components": QuerySpec(q_dedup_components, _components_oracle()),

@@ -413,3 +413,100 @@ def last_event_pivot_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         F.col("user_id").cast("string").alias("row_key"), *EVENT_TYPES
     )
+
+
+# ------------------------------------------------------- streaming sketch
+_KMV_K = 64
+
+_KMV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hashes", T.ArrayType(T.DoubleType())),
+        T.StructField("n_rows", T.LongType()),
+    ]
+)
+
+_KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("n_exact_capped", T.LongType()),
+        T.StructField("n_kmv", T.DoubleType()),
+    ]
+)
+
+
+def kmv_distinct_stream(
+    spark: SparkSession, sf_dir: str, k: int = _KMV_K
+) -> DataFrame:
+    """Streaming distinct-count via the KMV sketch as CUSTOM STATE: per
+    event type, the state is the k smallest distinct md5 hashes of the
+    user ids seen so far — O(k) doubles per key forever, the
+    mergeable-sketch property doing exactly what streaming state needs
+    it to do (HLL state would be the same shape but unreplayable; see
+    operators/sketch.py).
+
+    Because bottom-k-of-distinct is associative and insensitive to
+    arrival order and micro-batch boundaries, the FINAL state equals the
+    batch sketch over the same rows — so this query shares the batch
+    ``kmv_distinct`` oracle verbatim.  Each batch emits the key's
+    current estimate stamped with a monotone version (rows processed);
+    the final row per key is recovered with ``max_by`` after the sink,
+    like the custom LWW operator.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = stream_events(spark, sf_dir)
+
+    def update_kmv(key, pdfs, state: GroupState):
+        import hashlib
+
+        import pandas as pd
+
+        if state.exists:
+            hashes, n_rows = state.get
+            hs = set(hashes)
+        else:
+            hs, n_rows = set(), 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            for uid in pdf["user_id"]:
+                h = (
+                    int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+                    + 1
+                ) / float(1 << 60)
+                hs.add(h)
+            if len(hs) > k:  # truncate per batch: state stays O(k)
+                hs = set(sorted(hs)[:k])
+        arr = sorted(hs)[:k]
+        state.update((list(arr), n_rows))
+        n_seen = len(arr)
+        est = float(n_seen) if n_seen < k else (k - 1) / arr[-1]
+        # round-half-away-from-zero on the binary double, matching the
+        # oracle's round(double, 2) (values are positive)
+        est = math.floor(est * 100 + 0.5) / 100
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "version": n_rows,
+                    "n_exact_capped": n_seen,
+                    "n_kmv": est,
+                }
+            ]
+        )
+
+    updates = events.groupBy("event_type").applyInPandasWithState(
+        update_kmv,
+        outputStructType=_KMV_OUTPUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _run_to_memory(updates, "update")
+    final = emitted.groupBy("event_type").agg(
+        F.max_by("n_exact_capped", "version").alias("n_exact_capped"),
+        F.max_by("n_kmv", "version").alias("n_kmv"),
+    )
+    return final.orderBy("event_type")

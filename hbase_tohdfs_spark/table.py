@@ -112,3 +112,25 @@ def write_cells_bucketed(
 def read_bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
     """Scan a bucketed KV table; the bucket spec rides along in the plan."""
     return spark.table(table_name)
+
+
+def upsert_cells(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """HBase-style last-write-wins compaction: merge a delta cell batch
+    (a memstore flush / incremental bulk load) into the base table,
+    keeping the newest version of every cell coordinate — the batch form
+    of an HBase major compaction, and the KV analogue of a MERGE/upsert.
+
+    One union (no shuffle) + one keyed aggregation with map-side partial
+    agg; ``max_by(value, ts)`` is the same deterministic LWW rule the
+    pivot uses (SURVEY §2.2 P2).  On a bucketed base table with a
+    bucket-aligned delta the aggregation's distribution requirement is
+    already satisfied and the shuffle disappears, exactly like the
+    zero-shuffle export.
+    """
+    from pyspark.sql import functions as F
+
+    u = base.unionByName(delta)
+    return u.groupBy("row_key", "cf", "qualifier").agg(
+        F.expr("max_by(value, ts)").alias("value"),
+        F.max("ts").alias("ts"),
+    )

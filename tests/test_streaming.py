@@ -423,3 +423,23 @@ def test_interval_join_keeps_late_in_watermark_click(
         (6, 1, us(10, 30), us(10, 2)),
         (6, 1, us(10, 30), us(10, 4)),
     ]
+
+
+def test_multibatch_kmv_sketch_equals_batch(spark, sf_dir, events_dir, monkeypatch):
+    """The streaming KMV state merges across micro-batches into exactly
+    the batch sketch: bottom-k-of-distinct is order- and
+    batch-boundary-insensitive, so with one file per trigger the final
+    emission per key must equal operators.sketch.kmv_distinct over the
+    same rows."""
+    from hbase_tohdfs_spark.operators import sketch
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    monkeypatch.setattr(
+        ps, "stream_events", lambda spark_, _sf: _stream(spark_, events_dir)
+    )
+    got = ps.kmv_distinct_stream(spark, "ignored", k=16).collect()
+
+    batch = sketch.kmv_distinct(
+        _read_batch(spark, events_dir), "event_type", "user_id", k=16
+    ).collect()
+    assert sorted(map(tuple, got), key=str) == sorted(map(tuple, batch), key=str)
