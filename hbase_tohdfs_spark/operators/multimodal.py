@@ -643,3 +643,69 @@ def extract_media_features(blobs: DataFrame, decoder=decode_bmp) -> DataFrame:
             )
 
     return blobs.mapInPandas(featurize, IMAGE_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------- perceptual hash
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.StringType()),
+    ]
+)
+
+
+def compute_phash(payload: bytes) -> str:
+    """64-bit average-hash (aHash) of a BMP payload: decode, grayscale
+    ((r+g+b)//3), nearest-neighbor resample to 8x8, threshold each cell
+    against the 8x8 mean, pack MSB-first into 16 hex chars.
+
+    The threshold compares ``gray * 64 >= sum(grays)`` — pure integer
+    arithmetic, so the bit pattern is exactly reproducible in SQL (a
+    float mean would put boundary cells at the mercy of rounding).
+    """
+    w, h, rows = bmpfmt.read_bmp24(bytes(payload))
+    grays = []
+    for ty in range(8):
+        sy = (ty * h) // 8
+        for tx in range(8):
+            sx = (tx * w) // 8
+            r, g, b = rows[sy][sx]
+            grays.append((r + g + b) // 3)
+    total = sum(grays)
+    v = 0
+    for g in grays:
+        v = (v << 1) | (1 if g * 64 >= total else 0)
+    return f"{v:016x}"
+
+
+def phash_images(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched aHash over BMP payloads — the fingerprint half of
+    image near-dup detection (hamming distance on these 64-bit hashes is
+    the standard first-pass image dedup at corpus scale; grouping equal
+    hashes catches exact and near-exact re-encodes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [compute_phash(b) for b in pdf["blob"]],
+                }
+            )
+
+    return blobs.mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_dup_groups(phashes: DataFrame) -> DataFrame:
+    """Exact-phash duplicate groups: images whose 64-bit aHash collides
+    are (near-)identical up to aHash's tolerance.  One keyed shuffle on
+    the 16-char hash — the image twin of exact text dedup."""
+    return (
+        phashes.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("phash")
+    )

@@ -694,6 +694,47 @@ MEDIA_IMAGE_ORACLE = """
 """
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 64-bit average hash over the real BMP payloads — the
+    fingerprint stage of image near-dup detection.  The oracle replays
+    the whole chain (pixel formula -> grayscale -> 8x8 nearest-neighbor
+    resample -> integer mean threshold -> MSB-first hex packing) from
+    md5(text), so any decode/resample/packing bug is a value mismatch."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.phash_images(multimodal.attach_bmp_blob(docs))
+
+
+IMAGE_PHASH_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, md5(text) AS hx,
+             4 + ('0x' || substr(md5(text), 1, 2))::INT % 13 AS w,
+             4 + ('0x' || substr(md5(text), 3, 2))::INT % 13 AS h
+      FROM documents),
+    cells AS (
+      SELECT b.doc_id, t.i AS pos, b.hx,
+             ((((t.i // 8) * b.h) // 8) * b.w + (((t.i % 8) * b.w) // 8)) AS pi
+      FROM base b, generate_series(0, 63) AS t(i)),
+    grays AS (
+      SELECT doc_id, pos,
+             (('0x' || substr(hx, 2*((pi+11) % 16)+1, 2))::INT
+              + ('0x' || substr(hx, 2*((pi+5) % 16)+1, 2))::INT
+              + ('0x' || substr(hx, 2*(pi % 16)+1, 2))::INT) // 3 AS gray
+      FROM cells),
+    tot AS (SELECT doc_id, sum(gray) AS sumg FROM grays GROUP BY 1),
+    bits AS (SELECT g.doc_id, g.pos,
+                    CASE WHEN g.gray * 64 >= t.sumg THEN 1 ELSE 0 END AS bit
+             FROM grays g JOIN tot t USING (doc_id)),
+    nibs AS (SELECT doc_id, pos // 4 AS nib,
+                    CAST(sum(bit * (CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                    WHEN 2 THEN 2 ELSE 1 END)) AS INT) AS v
+             FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           string_agg(CASE WHEN v < 10 THEN chr(48 + v)
+                           ELSE chr(87 + v) END, '' ORDER BY nib) AS phash
+    FROM nibs GROUP BY doc_id
+"""
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document (repeated
     word-bigram fraction + top-bigram share) — see
@@ -1460,6 +1501,7 @@ def register(registry: dict) -> None:
             "media_image_pipeline": QuerySpec(
                 q_media_image_pipeline, MEDIA_IMAGE_ORACLE
             ),
+            "image_phash": QuerySpec(q_image_phash, IMAGE_PHASH_ORACLE),
             "media_audio_pipeline": QuerySpec(
                 q_media_audio_pipeline, MEDIA_AUDIO_ORACLE
             ),

@@ -604,3 +604,20 @@ def test_unigram_logprob_prefers_common_tokens(spark):
     out = {r["doc_id"]: r["avg_logprob"] for r in
            text.unigram_logprob(docs).collect()}
     assert out[1] > out[2]  # common tokens -> higher (less negative) logprob
+
+
+def test_phash_groups_identical_images(spark):
+    """Identical payloads share an aHash; distinct random images do not
+    collide; phash_dup_groups keeps the lowest doc_id."""
+    b1 = multimodal.synth_bmp(b"same-image")
+    b2 = multimodal.synth_bmp(b"other-image")
+    blobs = spark.createDataFrame(
+        [(1, b1), (2, b1), (3, b2)], "doc_id long, blob binary"
+    )
+    ph = multimodal.phash_images(blobs)
+    groups = multimodal.phash_dup_groups(ph).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_doc_id"] == 1
+    hashes = {r["doc_id"]: r["phash"] for r in ph.collect()}
+    assert hashes[1] == hashes[2] != hashes[3]
+    assert len(hashes[1]) == 16
