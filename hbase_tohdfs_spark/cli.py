@@ -78,7 +78,7 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("outputFolder")
     s.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "ngram", "embedding"],
+        choices=["exact", "minhash", "simhash", "ngram", "embedding", "phash"],
         default="minhash",
     )
     s.add_argument("--threshold", type=float, default=0.5)
@@ -224,6 +224,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             out = dedup.simhash_dup_pairs(docs)
         elif args.method == "ngram":
             out = dedup.ngram_jaccard_pairs(docs, 2, args.threshold)
+        elif args.method == "phash":
+            from hbase_tohdfs_spark.operators import multimodal
+
+            out = multimodal.phash_dup_groups(
+                multimodal.phash_images(multimodal.attach_bmp_blob(docs))
+            )
         else:
             emb = spark.read.parquet(args.documentsParquet)
             out = dedup.embedding_dup_pairs(emb, args.threshold)

@@ -1457,6 +1457,47 @@ _EVENTS_HOURLY_ORACLE = """
 """
 
 
+def q_rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the hourly rollup rebuilt by MERGING
+    partial aggregates — the base partition's rollup and a "new batch"
+    rollup (events split 80/20 by a deterministic id predicate) are
+    combined with a second-stage sum, never rescanning base rows.
+
+    count and decimal-sum are mergeable aggregates, so the merged result
+    is byte-identical to the full recompute — this query shares
+    events_hourly_rollup's oracle verbatim, which IS the IVM proof.  At
+    100 TB this is how a materialized rollup absorbs a daily increment:
+    aggregate the increment, union with the stored partials, re-reduce
+    (state volume = |groups|, not |rows|)."""
+    ev = _events(spark, sf_dir)
+    base, delta = (
+        ev.filter(F.col("event_id") % 10 < 8),
+        ev.filter(F.col("event_id") % 10 >= 8),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("ps"),
+        )
+
+    return (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("ps").cast("double"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
 def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions: per-customer running revenue + order sequence."""
     from pyspark.sql import Window
@@ -2176,6 +2217,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "tpch_q20": QuerySpec(q_tpch_q20, _TPCH_Q20_ORACLE),
     "tpch_q21": QuerySpec(q_tpch_q21, _TPCH_Q21_ORACLE),
     "events_hourly_rollup": QuerySpec(q_events_hourly_rollup, _EVENTS_HOURLY_ORACLE),
+    # merged partial aggregates must equal the full recompute, so the
+    # incremental-merge query shares the full rollup's oracle verbatim
+    "rollup_incremental_merge": QuerySpec(
+        q_rollup_incremental_merge, _EVENTS_HOURLY_ORACLE
+    ),
     "window_running_revenue": QuerySpec(
         q_window_running_revenue, _WINDOW_RUNNING_ORACLE
     ),

@@ -257,3 +257,18 @@ def test_pii_verb_and_new_choices(spark, tmp_path):
                "--query-ids", "0,1") == 0
     got = spark.read.parquet(out)
     assert got.count() == 6  # 2 queries x k=3
+
+
+def test_dedup_phash_method(spark, tmp_path):
+    docs = str(tmp_path / "docs_ph")
+    spark.createDataFrame(
+        [(1, "dup text", "en", "s", 0), (2, "dup text", "en", "s", 0),
+         (3, "unique", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(docs)
+    from hbase_tohdfs_spark import cli
+
+    out = str(tmp_path / "out_ph")
+    assert cli.main(["Dedup", docs, out, "--method", "phash"], spark=spark) == 0
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0]["n_docs"] == 2
