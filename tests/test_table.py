@@ -49,3 +49,35 @@ def test_unbucketed_pivot_shuffles(spark, cells):
     wide = piv.pivot_cells(cells, cols)
     plan = wide._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan
+
+
+def test_bucketed_upsert_is_shuffle_free(spark):
+    """upsert_cells on two identically-bucketed tables needs no exchange:
+    bucketing on row_key clusters every (row_key, cf, qualifier) group
+    into one partition (superset-key distribution), and Union propagates
+    the compatible partitioning — the compaction analogue of the
+    zero-shuffle export."""
+    import re
+    import shutil
+    import uuid
+
+    from hbase_tohdfs_spark import generate
+    from hbase_tohdfs_spark import table as tbl
+
+    tag = uuid.uuid4().hex[:8]
+    names = (f"ub_base_{tag}", f"ub_delta_{tag}")
+    try:
+        tbl.write_cells_bucketed(
+            generate.populate_cells(spark, 2, 200, "u"), names[0], num_buckets=4
+        )
+        tbl.write_cells_bucketed(
+            generate.populate_cells(spark, 1, 100, "u"), names[1], num_buckets=4
+        )
+        merged = tbl.upsert_cells(spark.table(names[0]), spark.table(names[1]))
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert not re.findall(r"Exchange", plan), plan
+        assert merged.count() > 0
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            shutil.rmtree(f"spark-warehouse/{n}", ignore_errors=True)
