@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hbase_tohdfs_spark.operators import cacheutil
-from hbase_tohdfs_spark.operators.text import shingle_docs, with_tokens
+from hbase_tohdfs_spark.operators.text import (
+    shingle_docs,
+    token_hash_expr,
+    with_tokens,
+)
 
 #: md5-derived bucket in [0, 100) — the same idiom the stratified sampler
 #: uses; DuckDB computes the identical value via
@@ -259,10 +263,7 @@ def domain_rebalance(
     frac_kept); the same filter expression applied to the full row set
     is the materialization path.
     """
-    bucket = F.expr(
-        f"cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10)"
-        " as bigint) % 1000000"
-    )
+    bucket = token_hash_expr(f"cast({id_col} as string)") % 1000000
     # counts is |sources| rows but its lineage is a corpus scan — persist
     # it so the three consumers (rates, the keep filter, the report join)
     # cost ONE counting pass, not three; released after materialization.
@@ -279,8 +280,12 @@ def domain_rebalance(
         .filter(F.col("bucket") * F.col("n_before") < F.col("n_min") * 1000000)
     )
     after = kept.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_after"))
+    # LEFT join + coalesce: a source whose every document was sampled
+    # away must still report n_after = 0 — an inner join would silently
+    # drop exactly the sources the down-sampling hit hardest.
     report = (
-        rates.join(after, source_col)
+        rates.join(after, source_col, "left")
+        .withColumn("n_after", F.coalesce("n_after", F.lit(0)))
         .select(
             source_col,
             "n_before",

@@ -344,32 +344,16 @@ def sq8_topk(
     tests/test_ann_recall.py and SCALE.md.
 
     Output shape matches cosine_topk/lsh_topk/ivf_topk:
-    (query_id, vec_id, cosine, rank).
+    (query_id, vec_id, cosine, rank) — by construction: the search IS
+    cosine_topk over the dequantized vectors, so broadcast strategy,
+    tie-breaking, and output schema can never drift between the exact
+    and quantized paths.
     """
-    from pyspark.sql import Window
-
     mns, scs = sq8_quantization_params(embeddings)
-    e = embeddings.select(
-        "vec_id", _dequant_expr("embedding", mns, scs).alias("dv")
-    ).select("vec_id", "dv", _norm_expr("dv").alias("norm"))
-    q = e.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("dv").alias("qv"),
-        F.col("norm").alias("qnorm"),
+    dequantized = embeddings.select(
+        "vec_id", _dequant_expr("embedding", mns, scs).alias("embedding")
     )
-    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cos = F.round(
-        _dot_expr("dv", "qv") / (F.col("norm") * F.col("qnorm")), round_to
-    )
-    scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return cosine_topk(dequantized, query_ids, k=k, round_to=round_to)
 
 
 def kmeans_train(

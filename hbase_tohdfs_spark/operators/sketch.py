@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hbase_tohdfs_spark.operators.text import token_hash_expr
+
 #: 2^60, the hash domain: 15 md5 hex chars, the repo-wide 60-bit idiom
 #: (token_hash_expr); uniform on [0, 2^60).
 _HASH_DOMAIN = float(1 << 60)
@@ -35,12 +37,9 @@ _HASH_DOMAIN = float(1 << 60)
 
 def _hash01(col_sql: str):
     """md5-derived hash mapped to (0, 1]: (h + 1) / 2^60 so h_k is never
-    zero.  DuckDB replays it as
-    (('0x' || substr(md5(x), 1, 15))::BIGINT + 1) / 2^60."""
-    return (
-        F.expr(f"cast(conv(substr(md5({col_sql}), 1, 15), 16, 10) as bigint)")
-        + 1
-    ) / F.lit(_HASH_DOMAIN)
+    zero.  Built on the shared ``token_hash_expr`` idiom; DuckDB replays
+    it as (('0x' || substr(md5(x), 1, 15))::BIGINT + 1) / 2^60."""
+    return (token_hash_expr(col_sql) + 1) / F.lit(_HASH_DOMAIN)
 
 
 def kmv_distinct(

@@ -386,11 +386,18 @@ def bm25_topk(
             * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
+    # decimal accumulation: per-term contributions are doubles, and a
+    # plain double sum depends on addition order across partitionings
+    # and engines — the same exact-accumulation rule as unigram_logprob
     scored = (
         tf.join(F.broadcast(df_t), "tok")
         .join(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .agg(
+            F.round(
+                F.sum(contrib.cast("decimal(38,12)")).cast("double"), 6
+            ).alias("bm25")
+        )
     )
     return (
         scored.orderBy(F.desc("bm25"), "doc_id").limit(k)

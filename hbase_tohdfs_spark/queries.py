@@ -247,10 +247,12 @@ _KV_UPSERT_ORACLE = f"""
     WITH base AS ({generate.populate_cells_oracle_sql(2, 500, "bench")}),
     delta AS (SELECT row_key, cf, qualifier, value_str, ts + 100000 AS ts
               FROM ({generate.populate_cells_oracle_sql(1, 200, "bench")})),
-    allc AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
-    SELECT row_key, cf, qualifier,
-           arg_max(value_str, ts) AS value_str, max(ts) AS ts
-    FROM allc GROUP BY 1, 2, 3
+    allc AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+    m AS (SELECT row_key, cf, qualifier,
+                 max({{'t': ts, 'v': value_str}}) AS mx
+          FROM allc GROUP BY 1, 2, 3)
+    SELECT row_key, cf, qualifier, mx.v AS value_str, mx.t AS ts
+    FROM m
 """
 
 
@@ -1733,10 +1735,16 @@ def q_docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     worth the dedicated round-trip proof next to the avro/parquet ones.
     """
     import os
+    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
+    # per-process unique dir: a fixed shared path would race concurrent
+    # sessions (one process's overwrite deletes files another is reading
+    # — a false "lossy round-trip" verdict); the lazily-read result must
+    # outlive this function, so cleanup is left to the OS tmp reaper
     out = os.path.join(
-        "/tmp/hbase_tohdfs_spark_jsonl", os.path.basename(sf_dir.rstrip("/"))
+        tempfile.mkdtemp(prefix="hbase_tohdfs_jsonl_"),
+        os.path.basename(sf_dir.rstrip("/")),
     )
     docs.write.mode("overwrite").json(out)
     back = spark.read.schema(docs.schema).json(out)

@@ -481,9 +481,11 @@ def _bm25_oracle() -> str:
            GROUP BY 1, 2, 3),
     dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
     scored AS (SELECT doc_id,
-                      round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                      round(CAST(sum(CAST(
+                                ln(1 + (n_docs - df + 0.5) / (df + 0.5))
                                 * (tf * ({k1} + 1))
-                                / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))),
+                                / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))
+                            AS DECIMAL(38,12))) AS DOUBLE),
                             6) AS bm25
                FROM tf JOIN dft USING (tok) CROSS JOIN stats
                GROUP BY 1)
@@ -1092,9 +1094,10 @@ DOMAIN_REBALANCE_ORACLE = """
              WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                       ::BIGINT % 1000000) * c.n_before < mn.n_min * 1000000),
     after AS (SELECT source, count(*) AS n_after FROM kept GROUP BY 1)
-    SELECT source, n_before, n_after,
-           round(CAST(n_after AS DOUBLE) / n_before, 4) AS frac_kept
-    FROM counts JOIN after USING (source) ORDER BY source
+    SELECT source, n_before, coalesce(n_after, 0) AS n_after,
+           round(CAST(coalesce(n_after, 0) AS DOUBLE) / n_before, 4)
+             AS frac_kept
+    FROM counts LEFT JOIN after USING (source) ORDER BY source
 """
 
 

@@ -453,8 +453,6 @@ def kmv_distinct_stream(
     the final row per key is recovered with ``max_by`` after the sink,
     like the custom LWW operator.
     """
-    import math
-
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     events = stream_events(spark, sf_dir)
@@ -482,10 +480,11 @@ def kmv_distinct_stream(
         arr = sorted(hs)[:k]
         state.update((list(arr), n_rows))
         n_seen = len(arr)
+        # emit the RAW estimate; rounding happens in the final Spark
+        # aggregation with F.round so the rendered value goes through
+        # the exact same Round expression as the batch twin — a Python
+        # floor(x*100+0.5) can flip a .xx5-boundary double differently
         est = float(n_seen) if n_seen < k else (k - 1) / arr[-1]
-        # round-half-away-from-zero on the binary double, matching the
-        # oracle's round(double, 2) (values are positive)
-        est = math.floor(est * 100 + 0.5) / 100
         yield pd.DataFrame(
             [
                 {
@@ -507,6 +506,6 @@ def kmv_distinct_stream(
     emitted = _run_to_memory(updates, "update")
     final = emitted.groupBy("event_type").agg(
         F.max_by("n_exact_capped", "version").alias("n_exact_capped"),
-        F.max_by("n_kmv", "version").alias("n_kmv"),
+        F.round(F.max_by("n_kmv", "version"), 2).alias("n_kmv"),
     )
     return final.orderBy("event_type")

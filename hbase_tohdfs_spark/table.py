@@ -121,16 +121,19 @@ def upsert_cells(base: DataFrame, delta: DataFrame) -> DataFrame:
     of an HBase major compaction, and the KV analogue of a MERGE/upsert.
 
     One union (no shuffle) + one keyed aggregation with map-side partial
-    agg; ``max_by(value, ts)`` is the same deterministic LWW rule the
-    pivot uses (SURVEY §2.2 P2).  On a bucketed base table with a
-    bucket-aligned delta the aggregation's distribution requirement is
-    already satisfied and the shuffle disappears, exactly like the
-    zero-shuffle export.
+    agg; the LWW rule is ``max_by(value, (ts, value))`` — newest ts
+    wins, and an exact ts TIE breaks on the value bytes, so the winner
+    is deterministic across runs, partitionings, and engines (a bare
+    ``max_by(value, ts)`` picks an arbitrary tied cell, exactly the
+    nondeterminism SURVEY §2.8 exists to avoid).  On a bucketed base
+    table with a bucket-aligned delta the aggregation's distribution
+    requirement is already satisfied and the shuffle disappears,
+    exactly like the zero-shuffle export.
     """
     from pyspark.sql import functions as F
 
     u = base.unionByName(delta)
     return u.groupBy("row_key", "cf", "qualifier").agg(
-        F.expr("max_by(value, ts)").alias("value"),
+        F.expr("max_by(value, struct(ts, value))").alias("value"),
         F.max("ts").alias("ts"),
     )
