@@ -110,3 +110,113 @@ def kmv_oracle_sql(
     FROM ranked WHERE r <= {k}
     GROUP BY grp ORDER BY grp
     """
+
+
+# ------------------------------------------------------- count-min sketch
+CMS_ROWS = 4
+CMS_WIDTH = 256
+
+
+def cms_counts(
+    df: DataFrame,
+    value_col: str,
+    rows: int = CMS_ROWS,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan '05) over a
+    column: ``rows`` independent hash rows of ``width`` counters.
+
+    Like the KMV sketch, the point of the md5-derived hashes is that the
+    sketch is DETERMINISTIC and replayable in ANSI SQL — the same
+    mergeable O(rows*width) state HLL-era systems keep, but auditable
+    across engines.  One generator fan-out (explode of the row index, no
+    shuffle) + one keyed aggregation whose reduce side is at most
+    rows*width counters regardless of corpus size.
+    """
+    r = F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("r")
+    hashed = df.select(F.col(value_col).cast("string").alias("v")).select(
+        "v", r
+    )
+    bucket = token_hash_expr("concat(r, ':', v)") % width
+    return (
+        hashed.select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    value_col: str,
+    probe_values: list,
+    rows: int = CMS_ROWS,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for ``probe_values``: estimate = min over
+    hash rows of the probed counter — always >= the true count, with
+    overestimate bounded by ~2N/width at 1 - (1/2)^rows confidence.
+
+    The true count rides along so the estimate's error is directly
+    inspectable (and bounded in tests).  The probe side is a literal
+    |probes| x rows frame broadcast against the (rows*width)-row sketch.
+    """
+    sketch = cms_counts(df, value_col, rows, width)
+    probes = df.sparkSession.createDataFrame(
+        [(str(v),) for v in probe_values], "v string"
+    )
+    r = F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("r")
+    probe_buckets = probes.select("v", r).select(
+        "v", "r", (token_hash_expr("concat(r, ':', v)") % width).alias("bucket")
+    )
+    est = (
+        probe_buckets.join(sketch, ["r", "bucket"], "left")
+        .groupBy("v")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_count"))
+    )
+    truth = (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .join(F.broadcast(probes), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(truth, "v", "left")
+        .select(
+            F.col("v").alias(value_col),
+            F.coalesce("true_count", F.lit(0)).alias("true_count"),
+            "cms_count",
+        )
+        .orderBy(value_col)
+    )
+
+
+def cms_oracle_sql(
+    table: str,
+    value_col: str,
+    probe_values: list,
+    rows: int = CMS_ROWS,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB replay of :func:`cms_estimate` on ``table``."""
+    probes = ", ".join(f"('{v}')" for v in probe_values)
+    return f"""
+    WITH vals AS (SELECT CAST({value_col} AS VARCHAR) AS v FROM {table}),
+    hashed AS (SELECT v, r.r,
+                      ('0x' || substr(md5(r.r || ':' || v), 1, 15))::BIGINT
+                        % {width} AS bucket
+               FROM vals CROSS JOIN generate_series(0, {rows - 1}) AS r(r)),
+    sketch AS (SELECT r, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
+    probes AS (SELECT * FROM (VALUES {probes}) AS p(v)),
+    pb AS (SELECT p.v, r.r,
+                  ('0x' || substr(md5(r.r || ':' || p.v), 1, 15))::BIGINT
+                    % {width} AS bucket
+           FROM probes p CROSS JOIN generate_series(0, {rows - 1}) AS r(r)),
+    est AS (SELECT pb.v, min(coalesce(s.c, 0)) AS cms_count
+            FROM pb LEFT JOIN sketch s USING (r, bucket) GROUP BY 1),
+    truth AS (SELECT v, count(*) AS true_count FROM vals
+              WHERE v IN (SELECT v FROM probes) GROUP BY 1)
+    SELECT e.v AS {value_col}, coalesce(t.true_count, 0) AS true_count,
+           e.cms_count
+    FROM est e LEFT JOIN truth t USING (v)
+    ORDER BY {value_col}
+    """

@@ -1081,6 +1081,30 @@ def _kmv_oracle() -> str:
     return sketch.kmv_oracle_sql("events", "event_type", "user_id", k=64)
 
 
+CMS_PROBE_USERS = list(range(10))
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for 10 probe users over the
+    events stream — the frequency-sketch sibling of kmv_distinct_users
+    (distinct).  Estimate is always >= truth; both ride in the output so
+    the overestimate is inspectable, and the oracle replays the sketch
+    exactly."""
+    from hbase_tohdfs_spark.operators import sketch
+
+    from hbase_tohdfs_spark.queries import _events
+
+    return sketch.cms_estimate(
+        _events(spark, sf_dir), "user_id", CMS_PROBE_USERS
+    )
+
+
+def _cms_oracle() -> str:
+    from hbase_tohdfs_spark.operators import sketch
+
+    return sketch.cms_oracle_sql("events", "user_id", CMS_PROBE_USERS)
+
+
 def q_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.domain_rebalance(_t(spark, sf_dir, "documents"))
 
@@ -1470,6 +1494,7 @@ def register(registry: dict) -> None:
                 q_domain_rebalance, DOMAIN_REBALANCE_ORACLE
             ),
             "kmv_distinct_users": QuerySpec(q_kmv_distinct_users, _kmv_oracle()),
+            "cms_user_counts": QuerySpec(q_cms_user_counts, _cms_oracle()),
             # the streaming sketch's final state equals the batch sketch
             # (bottom-k-of-distinct is merge-order-insensitive), so it
             # shares the batch oracle verbatim

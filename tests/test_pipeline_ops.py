@@ -621,3 +621,18 @@ def test_phash_groups_identical_images(spark):
     hashes = {r["doc_id"]: r["phash"] for r in ph.collect()}
     assert hashes[1] == hashes[2] != hashes[3]
     assert len(hashes[1]) == 16
+
+
+def test_cms_overestimates_within_bound(spark):
+    """With a deliberately tiny sketch (width=8) collisions are forced:
+    estimates never undercount, and the overestimate obeys the
+    ~2N/width bound with margin (min over 4 rows)."""
+    from hbase_tohdfs_spark.operators import sketch
+
+    rows = [(i % 50,) for i in range(2000)]  # 50 values x 40 each
+    df = spark.createDataFrame(rows, "val long")
+    out = sketch.cms_estimate(df, "val", [0, 1, 2, 3, 4], rows=4, width=8)
+    n = 2000
+    for r in out.collect():
+        assert r["cms_count"] >= r["true_count"]
+        assert r["cms_count"] - r["true_count"] <= 2 * n / 8
