@@ -81,3 +81,17 @@ def test_bucketed_upsert_is_shuffle_free(spark):
         for n in names:
             spark.sql(f"DROP TABLE IF EXISTS {n}")
             shutil.rmtree(f"spark-warehouse/{n}", ignore_errors=True)
+
+
+def test_upsert_ties_break_deterministically(spark):
+    """Equal-ts cells for one coordinate: the winner is the max value
+    bytes, not an arbitrary partition-order pick (review fix)."""
+    from hbase_tohdfs_spark import table as tbl
+
+    mk = lambda v: [("k", "c", "q", v.encode(), 7)]  # noqa: E731
+    schema = "row_key string, cf string, qualifier string, value binary, ts long"
+    base = spark.createDataFrame(mk("aaa"), schema)
+    delta = spark.createDataFrame(mk("zzz"), schema)
+    for b, d in ((base, delta), (delta, base)):  # order-independent
+        row = tbl.upsert_cells(b, d).collect()[0]
+        assert bytes(row["value"]) == b"zzz" and row["ts"] == 7

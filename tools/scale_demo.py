@@ -71,11 +71,32 @@ def main() -> None:
             t0 = time.perf_counter()
             wide_b.write.mode("overwrite").format("noop").save()
             results["export_bucketed_sec"] = round(time.perf_counter() - t0, 2)
+
+            # LWW compaction at scale: merge a 10% delta into the 50M-cell
+            # bucketed base — both sides bucket-aligned, so the upsert's
+            # aggregation inherits the scan distribution (no exchange).
+            delta = generate.populate_cells(
+                spark, tasks, per_task // 10, "scale"
+            ).withColumn("ts", F.col("ts") + F.lit(n_cells * 10))
+            table.write_cells_bucketed(delta, "kv_scale_delta", num_buckets=tasks)
+            merged = table.upsert_cells(
+                table.read_bucketed_table(spark, "kv_scale_demo"),
+                table.read_bucketed_table(spark, "kv_scale_delta"),
+            )
+            plan = merged._jdf.queryExecution().executedPlan().toString()
+            results["upsert_shuffle_free"] = "Exchange" not in plan
+            t0 = time.perf_counter()
+            merged.write.mode("overwrite").format("noop").save()
+            results["upsert_sec"] = round(time.perf_counter() - t0, 2)
         finally:
             spark.sql("DROP TABLE IF EXISTS kv_scale_demo")
+            spark.sql("DROP TABLE IF EXISTS kv_scale_delta")
 
     for k in ("ingest", "export_plain", "export_bucketed"):
         results[f"{k}_cells_per_sec"] = int(n_cells / results[f"{k}_sec"])
+    results["upsert_cells_per_sec"] = int(
+        (n_cells + n_cells // 10) / results["upsert_sec"]
+    )
     print(json.dumps(results))
 
 
