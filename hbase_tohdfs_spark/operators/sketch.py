@@ -134,12 +134,10 @@ def cms_counts(
     rows*width counters regardless of corpus size.
     """
     r = F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("r")
-    hashed = df.select(F.col(value_col).cast("string").alias("v")).select(
-        "v", r
-    )
     bucket = token_hash_expr("concat(r, ':', v)") % width
     return (
-        hashed.select("r", bucket.alias("bucket"))
+        df.select(F.col(value_col).cast("string").alias("v"), r)
+        .select("r", bucket.alias("bucket"))
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -1430,14 +1430,20 @@ _TPCH_Q21_ORACLE = """
 """
 
 
+def _hour_bucket() -> F.Column:
+    """The rollup family's shared hour key (full recompute, incremental
+    merge, and the DuckDB oracle's strftime all render identically)."""
+    return F.date_format(
+        F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+    ).alias("hour")
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup (batch twin of the streaming pivot)."""
     events = _events(spark, sf_dir)
     return (
         events.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
-                "hour"
-            ),
+            _hour_bucket(),
             "event_type",
         )
         .agg(
@@ -1478,12 +1484,7 @@ def q_rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy(
-            F.date_format(
-                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
-            ).alias("hour"),
-            "event_type",
-        ).agg(
+        return df.groupBy(_hour_bucket(), "event_type").agg(
             F.count(F.lit(1)).alias("pn"),
             F.sum(F.col("value").cast("decimal(38,6)")).alias("ps"),
         )
