@@ -78,7 +78,10 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("outputFolder")
     s.add_argument(
         "--method",
-        choices=["exact", "minhash", "simhash", "ngram", "embedding", "phash"],
+        choices=[
+            "exact", "minhash", "simhash", "ngram", "embedding", "phash",
+            "semantic",
+        ],
         default="minhash",
     )
     s.add_argument("--threshold", type=float, default=0.5)
@@ -230,6 +233,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             out = multimodal.phash_dup_groups(
                 multimodal.phash_images(multimodal.attach_bmp_blob(docs))
             )
+        elif args.method == "semantic":
+            from hbase_tohdfs_spark.operators import similarity
+
+            emb = spark.read.parquet(args.documentsParquet)
+            out = similarity.semantic_dedup(emb, tau=args.threshold)
         else:
             emb = spark.read.parquet(args.documentsParquet)
             out = dedup.embedding_dup_pairs(emb, args.threshold)

@@ -463,3 +463,75 @@ def kmeans_train(
     )
     final = final.select(F.col("vid").alias(id_col), "cluster", "sq_dist")
     return centroids, final
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. '23): cluster the embedding space with
+    k-means, then prune near-duplicates *within* each cluster — a point
+    is dropped when a lower-id point in its cluster has cosine >= tau.
+
+    Output: ``(vec_id, cluster, nn_cosine, keep)`` for every vector —
+    ``nn_cosine`` is its max cosine to any lower-id cluster-mate (null
+    for the cluster's lowest id), ``keep`` is the survival verdict.
+
+    The scale argument IS the clustering: all-pairs cosine over n docs
+    is O(n^2), but k-means first makes candidate pairs cluster-local —
+    expected pair volume drops to n^2/k, and in production k is chosen
+    ~ n / desired_cluster_size so per-cluster pairwise work stays
+    bounded while clusters shrink as the corpus grows.  The pairwise
+    join shuffles once on ``cluster`` (AQE splits any skewed mega
+    cluster); the k-means phase is shuffle-light (see ``kmeans_train``:
+    map-side literal-centroid assignment, k*d-row update shuffles).
+
+    Determinism: ``kmeans_train`` is cross-engine deterministic by
+    construction and the keep rule tie-breaks on ``vec_id``, so the
+    whole operator is replayable in ANSI SQL (the DuckDB oracle unrolls
+    the same Lloyd iterations, then the same in-cluster max-cosine).
+    """
+    _, assign_df = kmeans_train(
+        embeddings, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        _norm_expr(vec_col).alias("norm"),
+    ).join(
+        assign_df.select(F.col(id_col).alias("vec_id"), "cluster"), "vec_id"
+    )
+    a = e.select("vec_id", "cluster", "v", "norm")
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster").alias("b_cluster"),
+        F.col("v").alias("bv"),
+        F.col("norm").alias("b_norm"),
+    )
+    # Lower-id cluster-mates only: each unordered pair is scored once,
+    # and "keep the lowest id" falls out of the join direction.
+    pairs = a.join(
+        b,
+        (F.col("cluster") == F.col("b_cluster"))
+        & (F.col("b_id") < F.col("vec_id")),
+        "left",
+    )
+    cos = F.round(
+        _dot_expr("v", "bv") / (F.col("norm") * F.col("b_norm")), round_to
+    )
+    return (
+        pairs.select("vec_id", "cluster", cos.alias("cos"))
+        .groupBy("vec_id", "cluster")
+        .agg(F.max("cos").alias("nn_cosine"))
+        .select(
+            "vec_id",
+            "cluster",
+            "nn_cosine",
+            F.coalesce(F.col("nn_cosine") < tau, F.lit(True)).alias("keep"),
+        )
+    )

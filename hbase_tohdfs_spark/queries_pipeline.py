@@ -1234,12 +1234,16 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """Unrolled Lloyd's in DuckDB SQL, mirroring ``kmeans_train`` step by
-    step: k lowest-id seeds; per-iteration argmin assignment (first-index
-    tie-break, like Spark's ``array_position(sq, array_min(sq))``); means
-    as round(DECIMAL(38,12)-exact sum -> double / n, 9); empty clusters
-    keep the previous centroid; final extra assignment pass."""
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> list[str]:
+    """The shared Lloyd's-replay CTE chain (ending in ``fin``: one row per
+    vec_id with its final cluster and sq distance), mirroring
+    ``kmeans_train`` step by step: k lowest-id seeds; per-iteration argmin
+    assignment (first-index tie-break, like Spark's
+    ``array_position(sq, array_min(sq))``); means as
+    round(DECIMAL(38,12)-exact sum -> double / n, 9); empty clusters keep
+    the previous centroid; final extra assignment pass.  Shared by the
+    ``kmeans_assign`` and ``semdedup`` oracles so the replay of the
+    training loop cannot drift between them."""
 
     def sq(cent_cte: str) -> str:
         return (
@@ -1278,10 +1282,44 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
             f"FROM k{j - 1} p LEFT JOIN l{j} n USING (cluster))"
         )
     ctes.append(f"fin AS ({argmin(f'k{iters}')})")
+    return ctes
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_kmeans_ctes(k, iters, dim))
         + "\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster, "
         "round(sq, 6) AS sq_dist FROM fin"
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means clusters (same deterministic Lloyd's budget as
+    ``kmeans_assign``) then within-cluster near-dup pruning at tau=0.4
+    (cosine to a lower-id cluster-mate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, k=8, iters=3, tau=0.4)
+
+
+def _semdedup_oracle(
+    k: int = 8, iters: int = 3, dim: int = 64, tau: float = 0.4
+) -> str:
+    ctes = _kmeans_ctes(k, iters, dim)
+    ctes.append(
+        "ev AS (SELECT f.vec_id, f.cluster, f.v, "
+        "sqrt(list_dot_product(f.v, f.v)) AS norm FROM fin f)"
+    )
+    ctes.append(
+        "mx AS (SELECT a.vec_id, "
+        "max(round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)) AS nn "
+        "FROM ev a JOIN ev b "
+        "ON a.cluster = b.cluster AND b.vec_id < a.vec_id GROUP BY a.vec_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT ev.vec_id, CAST(ev.cluster AS INTEGER) AS cluster, "
+        f"mx.nn AS nn_cosine, coalesce(mx.nn < {tau}, TRUE) AS keep "
+        "FROM ev LEFT JOIN mx USING (vec_id)"
     )
 
 
@@ -1546,6 +1584,7 @@ def register(registry: dict) -> None:
             ),
             "passage_dedup": QuerySpec(q_passage_dedup, PASSAGE_DEDUP_ORACLE),
             "kmeans_assign": QuerySpec(q_kmeans_assign, _kmeans_oracle()),
+            "semdedup": QuerySpec(q_semdedup, _semdedup_oracle()),
             "curation_pipeline": QuerySpec(
                 q_curation_pipeline, _curation_pipeline_oracle()
             ),

@@ -636,3 +636,48 @@ def test_cms_overestimates_within_bound(spark):
     for r in out.collect():
         assert r["cms_count"] >= r["true_count"]
         assert r["cms_count"] - r["true_count"] <= 2 * n / 8
+
+
+def test_semantic_dedup_prunes_within_cluster(spark):
+    """SemDeDup: exact duplicates are pruned (the higher id drops, its
+    original survives, they share a cluster by construction — identical
+    vectors get identical assignments), while every non-duplicate pair
+    sits below tau (max hand-computed cosine 0.9959 < 0.999) and
+    survives regardless of which blobs k-means merges."""
+    rows = [
+        (0, [10.0, 0.0]), (1, [9.0, 3.0]), (2, [11.0, -2.0]),
+        (3, [0.0, 10.0]), (4, [2.0, 9.0]), (5, [-1.0, 11.0]),
+        (6, [-10.0, 0.0]), (7, [-9.0, -3.0]), (8, [-11.0, 2.0]),
+        (9, [10.0, 0.0]),   # exact copy of id 0
+        (10, [0.0, 10.0]),  # exact copy of id 3
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(emb, k=3, iters=3, tau=0.999)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == 11
+    assert not got[9]["keep"] and not got[10]["keep"]
+    assert got[9]["nn_cosine"] == 1.0 and got[10]["nn_cosine"] == 1.0
+    # duplicates share their original's cluster; the original survives
+    assert got[9]["cluster"] == got[0]["cluster"] and got[0]["keep"]
+    assert got[10]["cluster"] == got[3]["cluster"] and got[3]["keep"]
+    # everything that isn't an exact copy survives
+    assert sorted(v["vec_id"] for v in got.values() if v["keep"]) == list(
+        range(9)
+    )
+    # per cluster, the lowest id is always kept (join keeps lower ids)
+    for cid in {r["cluster"] for r in got.values()}:
+        members = sorted(v["vec_id"] for v in got.values() if v["cluster"] == cid)
+        assert got[members[0]]["keep"]
+
+
+def test_semantic_dedup_pairwise_is_cluster_local(spark):
+    """The pairwise stage must join on cluster equality (n^2/k work),
+    never a cross join: the executed plan's only cartesian-free path is
+    an equi-join carrying the cluster key."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 7)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.semantic_dedup(emb, k=4, iters=1, tau=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
