@@ -218,3 +218,252 @@ def cms_oracle_sql(
     FROM est e LEFT JOIN truth t USING (v)
     ORDER BY {value_col}
     """
+
+
+# ------------------------------------------------------- hyperloglog
+#: canonical small-m alpha constants (Flajolet et al. '07, Fig. 3)
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_params(b: int) -> tuple[int, int, float]:
+    if not 4 <= b <= 6:
+        # the exact-integer register sum below needs m * 2^maxrho to fit
+        # a BIGINT: b=6 peaks at 2^61.  Larger m would switch to doubles
+        # and lose cross-engine bit-identity.
+        raise ValueError("b must be in [4, 6]")
+    m = 1 << b
+    maxrho = 60 - b + 1  # cap when the suffix is all zeros
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+    return m, maxrho, alpha
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    b: int = 5,
+    round_to: int = 2,
+) -> DataFrame:
+    """Per-group distinct-count estimate via a deterministic HyperLogLog
+    (Flajolet et al. '07) — the register sketch itself, not the built-in
+    ``approx_count_distinct`` whose HLL++ layout no independent engine
+    can replay.
+
+    Layout: the 60-bit md5 hash splits into a register index (``h % m``,
+    m = 2^b registers) and a suffix ``w = h div m``; the register keeps
+    the max over values of rho(w) = trailing zeros + 1 (w = 0 caps at
+    61 - b).  Estimate = alpha_m * m^2 / sum(2^-reg) with the standard
+    linear-counting small-range correction when the raw estimate is
+    under 2.5m and empty registers remain.
+
+    Cross-engine determinism is engineered, not assumed: the harmonic
+    sum is computed as EXACT integers (each register contributes
+    ``2^(maxrho - reg)``, empty registers ``2^maxrho``) so no
+    floating-point addition order exists; the single division and the
+    bigint->double cast are IEEE-exact in both engines, and the
+    linear-counting branch's ``ln`` sits >= 1e-6 away from every
+    round(2) boundary for all m-1 possible arguments, so libm 1-ulp
+    differences cannot flip a digit.
+
+    Scale shape: one keyed shuffle whose reduce side is at most m rows
+    per group (map-side partial max), then a per-group m-row fold —
+    O(m) mergeable state per group, the classic production sketch.
+
+    Output: (group, registers_hit, n_hll).
+    """
+    m, maxrho, alpha = _hll_params(b)
+    # alpha * m^2 * 2^maxrho: double * powers of two — exact scaling,
+    # computed once here and embedded as the same literal both engines see
+    num = alpha * m * m * (1 << maxrho)
+    hs = (
+        f"cast(conv(substr(md5(cast({value_col} as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    hashed = df.selectExpr(
+        f"{group_col} as grp",
+        f"pmod({hs}, {m}) as bucket",
+        f"({hs}) div {m} as w",
+    )
+    rho = (
+        f"CASE WHEN w = 0 THEN {maxrho} ELSE "
+        f"length(bin(w)) - length(trim(TRAILING '0' FROM bin(w))) + 1 END"
+    )
+    regs = (
+        hashed.selectExpr("grp", "bucket", f"{rho} as rho")
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    est = (
+        regs.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), {maxrho} - reg)")
+            ).alias("s_hit"),
+        )
+        .selectExpr(
+            "grp",
+            f"cast({m} - nb as int) as zeros",
+            f"{num!r} / (s_hit + ({m} - nb) * shiftleft(cast(1 as bigint),"
+            f" {maxrho})) as e_raw",
+        )
+        .selectExpr(
+            "grp",
+            f"cast({m} - zeros as int) as registers_hit",
+            f"round(CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0 THEN"
+            f" {m} * ln({m} / cast(zeros as double))"
+            f" ELSE e_raw END, {round_to}) as n_hll",
+        )
+    )
+    return est.select(
+        F.col("grp").alias(group_col), "registers_hit", "n_hll"
+    ).orderBy(group_col)
+
+
+def hll_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    b: int = 5,
+    round_to: int = 2,
+) -> str:
+    """The DuckDB replay of :func:`hll_distinct` on ``table``."""
+    m, maxrho, alpha = _hll_params(b)
+    num = alpha * m * m * (1 << maxrho)
+    return f"""
+    WITH hashed AS (
+      SELECT {group_col} AS grp,
+             ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))
+               ::BIGINT AS h
+      FROM {table}),
+    hb AS (SELECT grp, h % {m} AS bucket, h // {m} AS w FROM hashed),
+    rr AS (SELECT grp, bucket,
+                  CASE WHEN w = 0 THEN {maxrho}
+                       ELSE length(bin(w)) - length(rtrim(bin(w), '0')) + 1
+                  END AS rho
+           FROM hb),
+    regs AS (SELECT grp, bucket, max(rho) AS reg FROM rr GROUP BY 1, 2),
+    est AS (SELECT grp,
+                   CAST({m} - count(*) AS INT) AS zeros,
+                   {num!r} / (sum((1::BIGINT << ({maxrho} - reg)))
+                     + ({m} - count(*)) * (1::BIGINT << {maxrho})) AS e_raw
+            FROM regs GROUP BY 1)
+    SELECT grp AS {group_col},
+           CAST({m} - zeros AS INT) AS registers_hit,
+           round(CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0
+                      THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
+                      ELSE e_raw END, {round_to}) AS n_hll
+    FROM est ORDER BY {group_col}
+    """
+
+
+# ------------------------------------------------------- bloom filter
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+
+
+def bloom_mask(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+) -> list[int]:
+    """Build a Bloom filter over a (small) key set and return it as
+    m_bits/64 signed-64-bit words — model-sized state (4096 bits = 64
+    longs) that ships into probe-side plans as a literal, exactly like
+    Spark's own InjectRuntimeFilter bloom but deterministic (md5-derived
+    positions) and therefore SQL-replayable.
+
+    The build is one distributed projection (key -> k positions, a
+    generator fan-out) whose DISTINCT positions collect to the driver —
+    at most m_bits values regardless of build-side row count.
+    """
+    r = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("j")
+    pos_rows = (
+        df.select(F.col(key_col).cast("string").alias("v"), r)
+        .select((token_hash_expr("concat(j, ':', v)") % m_bits).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for row in pos_rows:
+        p = row["pos"]
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into Java long range
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_contains(
+    key_sql: str,
+    words: list[int],
+    m_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+):
+    """Membership-test Column: all k hash positions set in the mask.
+    Pure codegen — an O(1) array index + shift per probe, no join, no
+    shuffle; `(x >> n) & 1` is bit-exact under arithmetic shift."""
+    arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    probes = []
+    for j in range(k_hashes):
+        h = (
+            f"cast(conv(substr(md5(concat('{j}', ':',"
+            f" cast({key_sql} as string))), 1, 15), 16, 10) as bigint)"
+            f" % {m_bits}"
+        )
+        probes.append(
+            f"((shiftright(element_at({arr}, cast(({h}) div 64 as int) + 1),"
+            f" cast(({h}) % 64 as int)) & 1) = 1)"
+        )
+    return F.expr(" AND ".join(probes))
+
+
+def bloom_semijoin_stats(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Pre-filter ``probe`` with a Bloom filter built from ``build``'s
+    keys and report what the filter did: rows probed, rows passing the
+    bloom, true semi-join matches, false positives, fp rate.
+
+    The 100 TB story: a selective join's shuffle cost is dominated by
+    probe rows that will never match; a build-side bloom shipped as a
+    literal prunes them MAP-SIDE, before any exchange, at 64 longs of
+    plan state.  No false negatives by construction (``true_matches ==
+    bloom passes that really match`` is asserted in tests, and the
+    oracle replays the exact mask).
+    """
+    words = bloom_mask(build, build_key, m_bits, k_hashes)
+    hit = bloom_contains(probe_key, words, m_bits, k_hashes)
+    truth = build.select(F.col(build_key).cast("string").alias("bk")).distinct()
+    flagged = probe.select(
+        hit.alias("in_bloom"),
+        F.col(probe_key).cast("string").alias("pk"),
+    ).join(F.broadcast(truth), F.col("pk") == F.col("bk"), "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.when(F.col("in_bloom"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("bk").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_match"),
+        F.sum(
+            F.when(F.col("in_bloom") & F.col("bk").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+    ).select(
+        "n_probed",
+        "n_bloom_pass",
+        "n_true_match",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos")
+            / (F.col("n_probed") - F.col("n_true_match")),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -1081,6 +1081,82 @@ def _kmv_oracle() -> str:
     return sketch.kmv_oracle_sql("events", "event_type", "user_id", k=64)
 
 
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter: a 4096-bit / 3-hash filter
+    built from the BUILDING customers prunes orders MAP-SIDE before any
+    join shuffle — the runtime-filter pattern Spark applies to selective
+    joins, made deterministic (md5 positions) so the oracle can rebuild
+    the identical mask and replay every membership probe."""
+    from hbase_tohdfs_spark.operators import sketch
+
+    from hbase_tohdfs_spark.queries import _t
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return sketch.bloom_semijoin_stats(
+        orders, cust, "o_custkey", "c_custkey"
+    )
+
+
+def _bloom_semijoin_oracle(m: int = 4096, k: int = 3) -> str:
+    """DuckDB replay: rebuild the bit set from the build keys, probe
+    every order's k positions, demand all k hit (no false negatives by
+    construction; HAVING count(DISTINCT j) = k mirrors the AND of the
+    k probes)."""
+    return f"""
+    WITH bkeys AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+                   FROM customer WHERE c_mktsegment = 'BUILDING'),
+    bits AS (SELECT DISTINCT
+                    ('0x' || substr(md5(j.j || ':' || v), 1, 15))::BIGINT
+                      % {m} AS pos
+             FROM bkeys CROSS JOIN generate_series(0, {k - 1}) AS j(j)),
+    probe AS (SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS pk
+              FROM orders),
+    pp AS (SELECT o_orderkey, pk, j.j,
+                  ('0x' || substr(md5(j.j || ':' || pk), 1, 15))::BIGINT
+                    % {m} AS pos
+           FROM probe CROSS JOIN generate_series(0, {k - 1}) AS j(j)),
+    hits AS (SELECT o_orderkey, pk FROM pp
+             WHERE pos IN (SELECT pos FROM bits)
+             GROUP BY 1, 2 HAVING count(DISTINCT j) = {k}),
+    agg AS (SELECT
+      (SELECT count(*) FROM probe) AS n_probed,
+      (SELECT count(*) FROM hits) AS n_bloom_pass,
+      (SELECT count(*) FROM probe WHERE pk IN (SELECT v FROM bkeys))
+        AS n_true_match,
+      (SELECT count(*) FROM hits WHERE pk NOT IN (SELECT v FROM bkeys))
+        AS n_false_pos)
+    SELECT n_probed, n_bloom_pass, n_true_match, n_false_pos,
+           round(CAST(n_false_pos AS DOUBLE) / (n_probed - n_true_match), 6)
+             AS fp_rate
+    FROM agg
+    """
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a deterministic HyperLogLog
+    (m=32 registers; ~150 true distinct per type at the gate SF, well
+    above the 2.5m linear-counting range, so the register-estimator
+    path is what the oracle checks).  Completes the sketch family:
+    KMV (distinct, order-statistic), CMS (frequency), HLL (distinct,
+    register-max) — all md5-deterministic and SQL-replayable."""
+    from hbase_tohdfs_spark.operators import sketch
+
+    from hbase_tohdfs_spark.queries import _events
+
+    return sketch.hll_distinct(
+        _events(spark, sf_dir), "event_type", "user_id", b=5
+    )
+
+
+def _hll_oracle() -> str:
+    from hbase_tohdfs_spark.operators import sketch
+
+    return sketch.hll_oracle_sql("events", "event_type", "user_id", b=5)
+
+
 CMS_PROBE_USERS = list(range(10))
 
 
@@ -1532,6 +1608,12 @@ def register(registry: dict) -> None:
                 q_domain_rebalance, DOMAIN_REBALANCE_ORACLE
             ),
             "kmv_distinct_users": QuerySpec(q_kmv_distinct_users, _kmv_oracle()),
+            "hll_distinct_users": QuerySpec(
+                q_hll_distinct_users, _hll_oracle()
+            ),
+            "bloom_semijoin": QuerySpec(
+                q_bloom_semijoin, _bloom_semijoin_oracle()
+            ),
             "cms_user_counts": QuerySpec(q_cms_user_counts, _cms_oracle()),
             # the streaming sketch's final state equals the batch sketch
             # (bottom-k-of-distinct is merge-order-insensitive), so it

@@ -9,7 +9,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from hbase_tohdfs_spark.operators import dedup, multimodal, similarity, text
+from hbase_tohdfs_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    sketch,
+    text,
+)
 
 
 @pytest.fixture(scope="module")
@@ -681,3 +687,67 @@ def test_semantic_dedup_pairwise_is_cluster_local(spark):
     out = similarity.semantic_dedup(emb, k=4, iters=1, tau=0.9)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_hll_estimates_within_error_band(spark):
+    """HLL with m=32 registers: relative error on a 500-distinct column
+    stays inside 3 sigma (3 * 1.04/sqrt(32) ~ 55%), and the estimate is
+    invariant under repartitioning (register max is merge-order-free)."""
+    df = spark.range(5000).selectExpr(
+        "cast(id % 5 as string) as seg", "cast(id % 500 as string) as uid"
+    )
+    out = sketch.hll_distinct(df, "seg", "uid", b=5)
+    rows = {r["seg"]: r for r in out.collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        # every seg sees 100 distinct uids
+        assert abs(r["n_hll"] - 100) / 100 < 0.55
+        assert 1 <= r["registers_hit"] <= 32
+    again = sketch.hll_distinct(df.repartition(17, "uid"), "seg", "uid", b=5)
+    assert {r["seg"]: r["n_hll"] for r in again.collect()} == {
+        k: v["n_hll"] for k, v in rows.items()
+    }
+
+
+def test_hll_small_range_is_linear_counting(spark):
+    """Below 2.5m with empty registers the estimator must take the
+    linear-counting branch — tiny cardinalities come out near-exact, not
+    register-noise."""
+    df = spark.range(400).selectExpr(
+        "'a' as seg", "cast(id % 4 as string) as uid"
+    )
+    out = sketch.hll_distinct(df, "seg", "uid", b=5).collect()
+    assert len(out) == 1
+    assert abs(out[0]["n_hll"] - 4) <= 1.5
+
+
+def test_bloom_semijoin_no_false_negatives(spark):
+    """Bloom membership can never miss a real key (every build key's
+    positions are set), and the false-positive rate on disjoint probes
+    stays within ~4x the theoretical (1 - e^(-kn/m))^k."""
+    build = spark.range(300).selectExpr("cast(id as string) as k")
+    probe = spark.range(5000).selectExpr("cast(id as string) as k")
+    out = sketch.bloom_semijoin_stats(probe, build, "k", "k").collect()[0]
+    assert out["n_probed"] == 5000
+    assert out["n_true_match"] == 300
+    # no false negatives: every true match passes the bloom
+    assert out["n_bloom_pass"] >= out["n_true_match"]
+    assert out["n_bloom_pass"] - out["n_false_pos"] == out["n_true_match"]
+    import math
+
+    expected_fp = (1 - math.exp(-3 * 300 / 4096)) ** 3
+    assert out["fp_rate"] <= 4 * expected_fp
+
+
+def test_bloom_probe_is_map_side(spark):
+    """The membership pre-filter itself must be join-free and
+    shuffle-free: 64 literal longs in the plan, O(1) probes."""
+    build = spark.range(100).selectExpr("cast(id as string) as k")
+    probe = spark.range(1000).selectExpr("cast(id as string) as k")
+    words = sketch.bloom_mask(build, "k")
+    filtered = probe.filter(sketch.bloom_contains("k", words))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    # filter keeps all 100 real keys plus (rare) false positives
+    n = filtered.count()
+    assert 100 <= n <= 130
