@@ -54,7 +54,11 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("delimiter")
     s.add_argument("rowKeyColumn", nargs="?", default=None)
 
-    for verb in ("ExportHBaseTableToAvro", "ExportHBaseTableToParquet"):
+    for verb in (
+        "ExportHBaseTableToAvro",
+        "ExportHBaseTableToParquet",
+        "ExportHBaseTableToOrc",  # extension: same arity as the Parquet verb
+    ):
         s = sub.add_parser(verb)
         s.add_argument("table")
         s.add_argument("cf")
@@ -69,6 +73,10 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("numberOfRecords", nargs="?", type=int, default=None)
 
     s = sub.add_parser("ParquetReader")
+    s.add_argument("dataFile")
+    s.add_argument("numberOfRecords", nargs="?", type=int, default=None)
+
+    s = sub.add_parser("OrcReader")
     s.add_argument("dataFile")
     s.add_argument("numberOfRecords", nargs="?", type=int, default=None)
 
@@ -191,7 +199,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 args.delimiter,
                 codec=args.compressionCodec,
             )
-    elif args.verb in ("ExportHBaseTableToAvro", "ExportHBaseTableToParquet"):
+    elif args.verb in (
+        "ExportHBaseTableToAvro",
+        "ExportHBaseTableToParquet",
+        "ExportHBaseTableToOrc",
+    ):
         schema = schema_file.load_schema(args.schemaLocationOnHdfs, fmt="avro")
         cells = tbl.read_table(spark, args.table)
         typed = piv.pivot_typed(
@@ -205,6 +217,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             writers.write_avro(
                 typed, args.outputFolder, schema, codec=args.compressionCodec
             )
+        elif args.verb == "ExportHBaseTableToOrc":
+            writers.write_orc(typed, args.outputFolder, codec=args.compressionCodec)
         else:
             writers.write_parquet(typed, args.outputFolder, codec=args.compressionCodec)
     elif args.verb == "AvroReader":
@@ -214,6 +228,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         readers.print_records(df, args.numberOfRecords)
     elif args.verb == "ParquetReader":
         df = readers.read_parquet(spark, args.dataFile)
+        readers.print_records(df, args.numberOfRecords)
+    elif args.verb == "OrcReader":
+        df = readers.read_orc(spark, args.dataFile)
         readers.print_records(df, args.numberOfRecords)
     elif args.verb == "Dedup":
         from hbase_tohdfs_spark.operators import dedup

@@ -140,3 +140,15 @@ def write_parquet(typed: DataFrame, path: str, codec: str = "snappy") -> None:
     """K4: Parquet sink (``ExportHBaseTableToParquet.java:87-101``)."""
     codec = {"none": "uncompressed"}.get(codec.lower(), codec.lower())
     typed.write.mode("overwrite").option("compression", codec).parquet(path)
+
+
+def write_orc(typed: DataFrame, path: str, codec: str = "snappy") -> None:
+    """ORC sink — extension beyond the reference's four formats (K1-K4):
+    the other mainstream columnar container, wired exactly like the
+    Parquet sink so a user can swap formats per-verb.  Codec names
+    mirror the reference args (``none`` -> uncompressed); ORC's native
+    codecs are zlib/snappy/lzo/zstd."""
+    codec = {"none": "uncompressed", "gzip": "zlib"}.get(
+        codec.lower(), codec.lower()
+    )
+    typed.write.mode("overwrite").option("compression", codec).orc(path)

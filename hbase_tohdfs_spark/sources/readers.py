@@ -79,3 +79,9 @@ def print_records(df: DataFrame, limit: int | None = None) -> list[str]:
     for line in out:
         print(line)
     return out
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC -> DataFrame (schema from file metadata) — reader twin of
+    :func:`hbase_tohdfs_spark.sinks.writers.write_orc`."""
+    return spark.read.orc(path)

@@ -58,6 +58,10 @@ def walkthrough(spark, tmp_path_factory):
         "ExportHBaseTableToParquet", tbl, "c", root / "out_parquet",
         "snappy", root / "schema.avsc", "C1",
     ) == 0
+    assert run(
+        "ExportHBaseTableToOrc", tbl, "c", root / "out_orc",
+        "snappy", root / "schema.avsc", "C1",
+    ) == 0
     return root
 
 
@@ -128,6 +132,12 @@ def test_readers_print_schema_and_records(spark, walkthrough, capsys):
 
     assert cli.main(
         ["ParquetReader", str(walkthrough / "out_parquet"), "2"], spark=spark
+    ) == 0
+    out = capsys.readouterr().out
+    assert out.count("{'C1':") == 2
+
+    assert cli.main(
+        ["OrcReader", str(walkthrough / "out_orc"), "2"], spark=spark
     ) == 0
     out = capsys.readouterr().out
     assert out.count("{'C1':") == 2
@@ -272,3 +282,14 @@ def test_dedup_phash_method(spark, tmp_path):
     assert cli.main(["Dedup", docs, out, "--method", "phash"], spark=spark) == 0
     got = spark.read.parquet(out).collect()
     assert len(got) == 1 and got[0]["n_docs"] == 2
+
+
+def test_orc_matches_parquet_rows(spark, walkthrough):
+    """The ORC sink writes the same typed rows as the Parquet sink."""
+    pq = spark.read.parquet(str(walkthrough / "out_parquet"))
+    orc = spark.read.orc(str(walkthrough / "out_orc"))
+    assert orc.schema == pq.schema
+    key = lambda d: tuple(d[c] for c in COLS)  # noqa: E731
+    assert sorted(map(key, (r.asDict() for r in orc.collect()))) == sorted(
+        map(key, (r.asDict() for r in pq.collect()))
+    )
