@@ -109,6 +109,29 @@ def _build_parser() -> argparse.ArgumentParser:
         "--dim", type=int, default=64, help="embedding dimensionality (lsh)"
     )
 
+    s = sub.add_parser(
+        "Sketch", help="probabilistic sketches over a column (kmv/cms/hll/bloom)"
+    )
+    s.add_argument("inputParquet")
+    s.add_argument("outputFolder")
+    s.add_argument(
+        "--method", choices=["kmv", "cms", "hll", "bloom"], default="kmv"
+    )
+    s.add_argument("--group-by", default="event_type")
+    s.add_argument("--value-col", default="user_id")
+    s.add_argument("--k", type=int, default=64, help="kmv sketch size")
+    s.add_argument(
+        "--probes", default="0,1,2,3,4", help="cms probe values (comma-sep)"
+    )
+    s.add_argument(
+        "--build-parquet", default=None,
+        help="bloom: build-side table (defaults to inputParquet)",
+    )
+    s.add_argument(
+        "--build-key", default=None,
+        help="bloom: build-side key column (defaults to --value-col)",
+    )
+
     s = sub.add_parser("TextStats", help="per-document quality metrics")
     s.add_argument("documentsParquet")
     s.add_argument("outputFolder")
@@ -282,6 +305,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if args.repetition
             else text_ops.text_stats(docs)
         )
+        out.write.mode("overwrite").parquet(args.outputFolder)
+    elif args.verb == "Sketch":
+        from hbase_tohdfs_spark.operators import sketch
+
+        df = spark.read.parquet(args.inputParquet)
+        if args.method == "kmv":
+            out = sketch.kmv_distinct(df, args.group_by, args.value_col, k=args.k)
+        elif args.method == "hll":
+            out = sketch.hll_distinct(df, args.group_by, args.value_col)
+        elif args.method == "cms":
+            probes = [v for v in args.probes.split(",") if v != ""]
+            out = sketch.cms_estimate(df, args.value_col, probes)
+        else:
+            build = spark.read.parquet(args.build_parquet or args.inputParquet)
+            out = sketch.bloom_semijoin_stats(
+                df, build, args.value_col, args.build_key or args.value_col
+            )
         out.write.mode("overwrite").parquet(args.outputFolder)
     elif args.verb == "Pii":
         from hbase_tohdfs_spark.operators import text as text_ops

@@ -149,6 +149,7 @@ def cms_estimate(
     probe_values: list,
     rows: int = CMS_ROWS,
     width: int = CMS_WIDTH,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Point-query the sketch for ``probe_values``: estimate = min over
     hash rows of the probed counter — always >= the true count, with
@@ -157,8 +158,13 @@ def cms_estimate(
     The true count rides along so the estimate's error is directly
     inspectable (and bounded in tests).  The probe side is a literal
     |probes| x rows frame broadcast against the (rows*width)-row sketch.
+
+    ``sketch`` overrides the sketch frame (columns r, bucket, c) — the
+    streaming twin passes its stateful-agg result here so probe logic
+    and output shape are literally shared with the batch path.
     """
-    sketch = cms_counts(df, value_col, rows, width)
+    if sketch is None:
+        sketch = cms_counts(df, value_col, rows, width)
     probes = df.sparkSession.createDataFrame(
         [(str(v),) for v in probe_values], "v string"
     )

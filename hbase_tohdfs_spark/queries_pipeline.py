@@ -931,6 +931,12 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_stream(spark, sf_dir, k=64)
 
 
+def q_stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_tohdfs_spark.streaming.pivot_stream import cms_counts_stream
+
+    return cms_counts_stream(spark, sf_dir, CMS_PROBE_USERS)
+
+
 def q_stream_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_tohdfs_spark.streaming.pivot_stream import last_event_pivot_stream
 
@@ -1619,6 +1625,9 @@ def register(registry: dict) -> None:
             # (bottom-k-of-distinct is merge-order-insensitive), so it
             # shares the batch oracle verbatim
             "stream_kmv_distinct": QuerySpec(q_stream_kmv_distinct, _kmv_oracle()),
+            # streaming counters are additive/order-insensitive, so the
+            # final sketch equals the batch one and shares its oracle
+            "stream_cms_counts": QuerySpec(q_stream_cms_counts, _cms_oracle()),
             "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, TFIDF_TOP_TERMS_ORACLE),
             "dedup_minhash": QuerySpec(q_dedup_minhash, _minhash_oracle()),
             "dedup_components": QuerySpec(q_dedup_components, _components_oracle()),

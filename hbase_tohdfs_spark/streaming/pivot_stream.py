@@ -509,3 +509,43 @@ def kmv_distinct_stream(
         F.round(F.max_by("n_kmv", "version"), 2).alias("n_kmv"),
     )
     return final.orderBy("event_type")
+
+
+def cms_counts_stream(
+    spark: SparkSession, sf_dir: str, probe_values: list
+) -> DataFrame:
+    """Streaming count-min sketch as a plain UPDATE-mode streaming
+    aggregation — no Python state at all: each event fans out to its
+    ``rows`` hash cells JVM-side (generator explode + md5 bucket expr)
+    and the streaming ``groupBy(r, bucket).count()`` state IS the
+    sketch, at most rows*width counters regardless of stream length.
+
+    Counter merges are associative and arrival-order-insensitive, so the
+    final state equals the batch ``cms_counts`` over the same rows and
+    the query shares the batch oracle verbatim (the same argument as the
+    streaming KMV).  Update mode re-emits a cell on every batch that
+    touches it; counts are monotone per cell, so ``max`` after the sink
+    recovers the final sketch, which then flows through the SAME
+    ``cms_estimate`` probe code as the batch path.
+    """
+    from hbase_tohdfs_spark.operators import sketch, text
+    from hbase_tohdfs_spark.queries import _events
+
+    events = stream_events(spark, sf_dir)
+    r = F.explode(
+        F.sequence(F.lit(0), F.lit(sketch.CMS_ROWS - 1))
+    ).alias("r")
+    bucket = (
+        text.token_hash_expr("concat(r, ':', v)") % sketch.CMS_WIDTH
+    ).alias("bucket")
+    cells = events.select(
+        F.col("user_id").cast("string").alias("v"), r
+    ).select("r", bucket)
+    counts = cells.groupBy("r", "bucket").count()
+    emitted = _run_to_memory(counts, "update")
+    final_sketch = emitted.groupBy("r", "bucket").agg(
+        F.max("count").alias("c")
+    )
+    return sketch.cms_estimate(
+        _events(spark, sf_dir), "user_id", probe_values, sketch=final_sketch
+    )

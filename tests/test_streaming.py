@@ -443,3 +443,26 @@ def test_multibatch_kmv_sketch_equals_batch(spark, sf_dir, events_dir, monkeypat
         _read_batch(spark, events_dir), "event_type", "user_id", k=16
     ).collect()
     assert sorted(map(tuple, got), key=str) == sorted(map(tuple, batch), key=str)
+
+
+def test_multibatch_cms_sketch_equals_batch(spark, sf_dir, events_dir, monkeypatch):
+    """The streaming CMS is a plain update-mode streaming agg whose
+    state merges across micro-batches into exactly the batch sketch
+    (counter addition is order- and batch-boundary-insensitive), so the
+    probe estimates must equal operators.sketch.cms_estimate over the
+    same rows."""
+    from hbase_tohdfs_spark.operators import sketch
+    from hbase_tohdfs_spark.queries import _events
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    monkeypatch.setattr(
+        ps, "stream_events", lambda spark_, _sf: _stream(spark_, events_dir)
+    )
+    probes = list(range(10))
+    got = ps.cms_counts_stream(spark, sf_dir, probes).collect()
+    batch = sketch.cms_estimate(
+        _events(spark, sf_dir), "user_id", probes
+    ).collect()
+    assert sorted(map(tuple, got), key=str) == sorted(
+        map(tuple, batch), key=str
+    )
