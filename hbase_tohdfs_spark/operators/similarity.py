@@ -496,15 +496,33 @@ def semantic_dedup(
     whole operator is replayable in ANSI SQL (the DuckDB oracle unrolls
     the same Lloyd iterations, then the same in-cluster max-cosine).
     """
-    _, assign_df = kmeans_train(
+    cents, _ = kmeans_train(
         embeddings, k=k, iters=iters, vec_col=vec_col, id_col=id_col
     )
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        _norm_expr(vec_col).alias("norm"),
-    ).join(
-        assign_df.select(F.col(id_col).alias("vec_id"), "cluster"), "vec_id"
+    # Assign map-side from the trained literal centroids (the same argmin
+    # codegen as kmeans_train.assign) instead of joining the assignment
+    # frame back on vec_id — saves two keyed shuffles and a join.
+    arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    sq = (
+        "transform(cents, c -> aggregate(zip_with(v, c, (x, y) ->"
+        " (x - y) * (x - y)), 0D, (acc, z) -> acc + z))"
+    )
+    e = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            _norm_expr(vec_col).alias("norm"),
+        )
+        .withColumn("cents", arr)
+        .withColumn("sq", F.expr(sq))
+        .select(
+            "vec_id",
+            "v",
+            "norm",
+            (F.expr("array_position(sq, array_min(sq))") - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
     )
     a = e.select("vec_id", "cluster", "v", "norm")
     b = e.select(
