@@ -1867,6 +1867,82 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the microsecond gap to the previous event is >= the gap (Spark's
 # session interval is [start, last+gap) — an event landing exactly on
 # the boundary opens a new session); session_end = last event + gap.
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history: compress each user's event stream into
+    validity intervals of their current event_type — a row survives only
+    when the state CHANGES (lag compare), then ``lead`` closes each
+    interval and a row_number stamps the version.  The classic
+    warehouse changelog -> dimension-history transform.
+
+    One keyed shuffle: both window passes and the change filter share
+    the (user_id) partitioning, so Catalyst plans a single Exchange +
+    one sort reused by both Window operators.  Timestamps render as
+    strings (the sessionize convention) so the oracle compare is
+    TZ-independent."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn(
+        "prev", F.lag("event_type").over(w)
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), fmt).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )
+
+
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys for the (user_id, event-hour) plane — the z-value
+    computation behind ``operators/layout.py``'s multi-dimensional
+    clustering, surfaced as a checkable query (the layout write itself
+    is exercised in tests; SCALE.md records the measured per-file span
+    shrink vs a single-column layout).  Pure codegen bit-interleave;
+    the oracle replays the identical shift/mask formula."""
+    from hbase_tohdfs_spark.operators import layout
+
+    ev = _events(spark, sf_dir)
+    z = layout.zorder_sql(
+        "user_id", "unix_micros(ts) div 3600000000"
+    )
+    return ev.select("event_id", F.expr(z).alias("zval")).orderBy("event_id")
+
+
+def _zorder_oracle() -> str:
+    from hbase_tohdfs_spark.operators import layout
+
+    z = layout.zorder_sql_duckdb(
+        "user_id", "epoch_us(ts) // 3600000000"
+    )
+    return f"SELECT event_id, {z} AS zval FROM events ORDER BY event_id"
+
+
+_SCD2_ORACLE = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+               FROM events),
+    l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id) AS prev
+          FROM e),
+    c AS (SELECT user_id, event_type, us, event_id FROM l
+          WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type AS state,
+           strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(make_timestamp(lead(us) OVER (PARTITION BY user_id
+                                                  ORDER BY us, event_id)),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS INT) AS version
+    FROM c
+"""
+
+
 _SESSIONIZE_ORACLE = f"""
     WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
     marked AS (SELECT user_id, us, value,
@@ -2253,6 +2329,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "events_type_profile": QuerySpec(q_events_type_profile, _TYPE_PROFILE_ORACLE),
     "sessionize_events": QuerySpec(q_sessionize_events, _SESSIONIZE_ORACLE),
+    "scd2_user_state": QuerySpec(q_scd2_user_state, _SCD2_ORACLE),
+    "zorder_cells": QuerySpec(q_zorder_cells, _zorder_oracle()),
     "asof_purchase_click": QuerySpec(q_asof_purchase_click, _ASOF_ORACLE),
     "clicks_before_purchase": QuerySpec(
         q_clicks_before_purchase, _RANGE_JOIN_ORACLE
