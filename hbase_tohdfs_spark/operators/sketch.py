@@ -467,9 +467,14 @@ def bloom_semijoin_stats(
         "n_bloom_pass",
         "n_true_match",
         "n_false_pos",
-        F.round(
-            F.col("n_false_pos")
-            / (F.col("n_probed") - F.col("n_true_match")),
-            6,
+        # every probe row matching -> no non-member population to
+        # measure a false-positive rate on: report null, not a /0
+        F.when(
+            F.col("n_probed") > F.col("n_true_match"),
+            F.round(
+                F.col("n_false_pos")
+                / (F.col("n_probed") - F.col("n_true_match")),
+                6,
+            ),
         ).alias("fp_rate"),
     )

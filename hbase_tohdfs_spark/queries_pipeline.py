@@ -1135,8 +1135,10 @@ def _bloom_semijoin_oracle(m: int = 4096, k: int = 3) -> str:
       (SELECT count(*) FROM hits WHERE pk NOT IN (SELECT v FROM bkeys))
         AS n_false_pos)
     SELECT n_probed, n_bloom_pass, n_true_match, n_false_pos,
-           round(CAST(n_false_pos AS DOUBLE) / (n_probed - n_true_match), 6)
-             AS fp_rate
+           CASE WHEN n_probed > n_true_match
+                THEN round(CAST(n_false_pos AS DOUBLE)
+                           / (n_probed - n_true_match), 6)
+           END AS fp_rate
     FROM agg
     """
 

@@ -293,3 +293,31 @@ def test_orc_matches_parquet_rows(spark, walkthrough):
     assert sorted(map(key, (r.asDict() for r in orc.collect()))) == sorted(
         map(key, (r.asDict() for r in pq.collect()))
     )
+
+
+def test_sketch_verb_all_methods(spark, tmp_path):
+    """The Sketch verb writes parquet for kmv/cms/hll over a grouped
+    value column and bloom over a probe/build pair."""
+    data = str(tmp_path / "vals")
+    spark.range(2000).selectExpr(
+        "cast(id % 4 as string) as event_type",
+        "cast(id % 300 as string) as user_id",
+    ).write.parquet(data)
+
+    def run(*args) -> int:
+        from hbase_tohdfs_spark import cli
+
+        return cli.main([str(a) for a in args], spark=spark)
+
+    for method, expect_cols in [
+        ("kmv", {"event_type", "n_exact_capped", "n_kmv"}),
+        ("hll", {"event_type", "registers_hit", "n_hll"}),
+        ("cms", {"user_id", "true_count", "cms_count"}),
+        ("bloom", {"n_probed", "n_bloom_pass", "n_true_match",
+                   "n_false_pos", "fp_rate"}),
+    ]:
+        out = str(tmp_path / f"out_{method}")
+        assert run("Sketch", data, out, "--method", method) == 0
+        got = spark.read.parquet(out)
+        assert set(got.columns) == expect_cols
+        assert got.count() > 0
