@@ -142,3 +142,44 @@ def test_partitioned_layout_prunes_at_planning_time(spark, sf_dir, tmp_path):
         .count()
     )
     assert df.count() == expected
+
+
+def test_bloom_build_pushes_segment_filter(spark, sf_dir):
+    """The bloom build side's segment predicate reaches the customer
+    scan, and the probe pre-filter stays join-free (the only join in the
+    stats query is the broadcast truth join)."""
+    plan = _plan(spark, sf_dir, "bloom_semijoin")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_partial_aggregates_registers(spark, sf_dir):
+    """Both HLL aggregation levels combine map-side: the shuffle carries
+    at most m partial registers per group, never raw rows."""
+    plan = _plan(spark, sf_dir, "hll_distinct_users")
+    assert "partial_max" in plan or "partial_count" in plan
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+
+
+def test_scd2_single_keyed_exchange_for_windows(spark, sf_dir):
+    """All three window functions (lag, lead, row_number) must share one
+    hash exchange on user_id — the change filter preserves partitioning,
+    so no re-shuffle between the window passes."""
+    plan = _plan(spark, sf_dir, "scd2_user_state")
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_semdedup_assignment_stays_map_side(spark, sf_dir):
+    """Cluster assignment must come from literal centroids on the scan,
+    never from joining an assignment frame: the only join key in the
+    pairwise stage is `cluster`."""
+    plan = _plan(spark, sf_dir, "semdedup")
+    assert "CartesianProduct" not in plan
+    # the pairwise join is keyed on cluster; the b_id < vec_id bound is
+    # only ever a post-join condition, never an equi-key
+    assert "Left keys [1]: [cluster" in plan
+    # no join EQUI-keyed on vec_id (the old assignment-frame join shape)
+    for line in plan.splitlines():
+        if "keys [" in line and "vec_id" in line:
+            raise AssertionError(f"assignment join leaked back: {line}")
