@@ -162,7 +162,10 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("outputFolder")
     s.add_argument(
         "--op",
-        choices=["split", "pack", "decontaminate", "passage-dedup", "rebalance"],
+        choices=[
+            "split", "pack", "decontaminate", "passage-dedup", "rebalance",
+            "temperature-mix",
+        ],
         default="split",
     )
     s.add_argument("--group-col", default="source", help="split hash group")
@@ -362,6 +365,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             out = curation.contamination_report(docs, eval_pct=args.eval_pct)
         elif args.op == "rebalance":
             out = curation.domain_rebalance(docs)
+        elif args.op == "temperature-mix":
+            out = curation.temperature_mix(docs)
         else:
             out = curation.passage_dedup(docs, chunk_tokens=args.chunk_tokens)
         out.write.mode("overwrite").parquet(args.outputFolder)

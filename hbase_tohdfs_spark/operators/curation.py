@@ -297,3 +297,60 @@ def domain_rebalance(
         .orderBy(source_col)
     )
     return cacheutil.materialize_and_release(report, counts)
+
+
+def temperature_mix(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture reweighting at alpha = 0.5: sample
+    source s with probability proportional to n_s^alpha (the standard
+    multilingual/multi-domain softening — alpha=1 keeps the natural
+    mix, alpha->0 flattens to uniform; XLM-style corpora use 0.3-0.7).
+
+    Down-sampling only (no replication), scaled so the smallest source
+    keeps everything: keep_rate(s) = (n_min / n_s)^(1 - alpha), which at
+    alpha=0.5 is sqrt(n_min / n_s) — deliberately THE supported alpha,
+    because sqrt is IEEE-correctly-rounded in every engine while pow()
+    is libm-dependent; the keep decision (md5 bucket < 1e6 * rate)
+    therefore replays bit-for-bit in the DuckDB oracle.  alpha=0
+    degenerates to ``domain_rebalance`` (flat mix), the sibling
+    operator.
+
+    Same scale shape as ``domain_rebalance``: two counting passes whose
+    reduce sides are |sources| rows, corpus filtered map-side under a
+    broadcast of the rates, never shuffled.
+    """
+    bucket = token_hash_expr(f"cast({id_col} as string)") % 1000000
+    counts = (
+        docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_before"))
+        .persist()
+    )
+    n_min = counts.agg(F.min("n_before").alias("n_min"))
+    rates = counts.join(F.broadcast(n_min)).withColumn(
+        "keep_rate",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_before")),
+    )
+    kept = (
+        docs.select(source_col, bucket.alias("bucket"))
+        .join(F.broadcast(rates), source_col)
+        .filter(F.col("bucket") < 1000000 * F.col("keep_rate"))
+    )
+    after = kept.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_after"))
+    report = (
+        rates.join(after, source_col, "left")
+        .withColumn("n_after", F.coalesce("n_after", F.lit(0)))
+        .select(
+            source_col,
+            "n_before",
+            "n_after",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.round(F.col("n_after") / F.col("n_before"), 4).alias(
+                "frac_kept"
+            ),
+        )
+        .orderBy(source_col)
+    )
+    return cacheutil.materialize_and_release(report, counts)

@@ -1209,6 +1209,35 @@ DOMAIN_REBALANCE_ORACLE = """
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture reweighting — the softened
+    sibling of ``domain_rebalance``: keep_rate = sqrt(n_min/n_s), so
+    large sources shrink toward (not all the way to) the minority
+    size.  sqrt is IEEE-exact in both engines, which is why this alpha
+    is the supported one (pow() is libm-dependent)."""
+    return curation.temperature_mix(_t(spark, sf_dir, "documents"))
+
+
+TEMPERATURE_MIX_ORACLE = """
+    WITH counts AS (SELECT source, count(*) AS n_before
+                    FROM documents GROUP BY 1),
+    mn AS (SELECT min(n_before) AS n_min FROM counts),
+    rates AS (SELECT source, n_before,
+                     sqrt(CAST(mn.n_min AS DOUBLE) / n_before) AS keep_rate
+              FROM counts CROSS JOIN mn),
+    kept AS (SELECT d.source
+             FROM documents d JOIN rates r USING (source)
+             WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT % 1000000) < 1000000 * r.keep_rate),
+    after AS (SELECT source, count(*) AS n_after FROM kept GROUP BY 1)
+    SELECT source, n_before, coalesce(n_after, 0) AS n_after,
+           round(keep_rate, 6) AS keep_rate,
+           round(CAST(coalesce(n_after, 0) AS DOUBLE) / n_before, 4)
+             AS frac_kept
+    FROM rates LEFT JOIN after USING (source) ORDER BY source
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware exact dedup: within each exact-content group keep the
     longest document (doc_id as tiebreak) instead of the arbitrary first —
@@ -1614,6 +1643,9 @@ def register(registry: dict) -> None:
             ),
             "domain_rebalance": QuerySpec(
                 q_domain_rebalance, DOMAIN_REBALANCE_ORACLE
+            ),
+            "temperature_mix": QuerySpec(
+                q_temperature_mix, TEMPERATURE_MIX_ORACLE
             ),
             "kmv_distinct_users": QuerySpec(q_kmv_distinct_users, _kmv_oracle()),
             "hll_distinct_users": QuerySpec(

@@ -161,3 +161,26 @@ def test_domain_rebalance_flattens_to_minority(spark):
     assert 60 <= rep["big"]["n_after"] <= 140
     rep2 = {r["source"]: r for r in domain_rebalance(docs).collect()}
     assert rep == rep2
+
+
+def test_temperature_mix_softens_between_natural_and_flat(spark):
+    """alpha=0.5: the minority keeps everything (rate exactly 1.0), a 9x
+    larger source keeps ~sqrt(1/9) = 1/3 of its docs — strictly more
+    than the flat rebalance (1/9) and strictly less than natural (all);
+    deterministic across invocations."""
+    import math
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    rep = {r["source"]: r for r in curation.temperature_mix(docs).collect()}
+    assert rep["small"]["n_after"] == 100
+    assert rep["small"]["keep_rate"] == 1.0
+    assert abs(rep["big"]["keep_rate"] - math.sqrt(100 / 900)) < 1e-6
+    # ~300 expected; md5 buckets are uniform-ish
+    assert 240 <= rep["big"]["n_after"] <= 360
+    flat = {
+        r["source"]: r for r in curation.domain_rebalance(docs).collect()
+    }
+    assert flat["big"]["n_after"] < rep["big"]["n_after"] < 900
+    rep2 = {r["source"]: r for r in curation.temperature_mix(docs).collect()}
+    assert rep == rep2
