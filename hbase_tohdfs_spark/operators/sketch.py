@@ -277,28 +277,46 @@ def hll_distinct(
 
     Output: (group, registers_hit, n_hll).
     """
-    m, maxrho, alpha = _hll_params(b)
-    # alpha * m^2 * 2^maxrho: double * powers of two — exact scaling,
-    # computed once here and embedded as the same literal both engines see
-    num = alpha * m * m * (1 << maxrho)
+    regs = (
+        hll_cells(df, group_col, value_col, b)
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    return hll_estimate_from_registers(regs, group_col, b, round_to)
+
+
+def hll_cells(
+    df: DataFrame, group_col: str, value_col: str, b: int = 5
+) -> DataFrame:
+    """Map-side HLL cell derivation: (grp, bucket, rho) per row — the
+    shared front half of the batch and streaming paths (the streaming
+    twin feeds these cells into an update-mode ``max`` aggregation whose
+    state IS the register array)."""
+    m, maxrho, _alpha = _hll_params(b)
     hs = (
         f"cast(conv(substr(md5(cast({value_col} as string)), 1, 15), 16, 10)"
         " as bigint)"
-    )
-    hashed = df.selectExpr(
-        f"{group_col} as grp",
-        f"pmod({hs}, {m}) as bucket",
-        f"({hs}) div {m} as w",
     )
     rho = (
         f"CASE WHEN w = 0 THEN {maxrho} ELSE "
         f"length(bin(w)) - length(trim(TRAILING '0' FROM bin(w))) + 1 END"
     )
-    regs = (
-        hashed.selectExpr("grp", "bucket", f"{rho} as rho")
-        .groupBy("grp", "bucket")
-        .agg(F.max("rho").alias("reg"))
-    )
+    return df.selectExpr(
+        f"{group_col} as grp",
+        f"pmod({hs}, {m}) as bucket",
+        f"({hs}) div {m} as w",
+    ).selectExpr("grp", "bucket", f"{rho} as rho")
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_col: str, b: int = 5, round_to: int = 2
+) -> DataFrame:
+    """Read out (grp, bucket, reg) registers into the per-group estimate
+    — exact-integer harmonic sum, see :func:`hll_distinct`."""
+    m, maxrho, alpha = _hll_params(b)
+    # alpha * m^2 * 2^maxrho: double * powers of two — exact scaling,
+    # computed once here and embedded as the same literal both engines see
+    num = alpha * m * m * (1 << maxrho)
     est = (
         regs.groupBy("grp")
         .agg(

@@ -2356,12 +2356,14 @@ queries_pipeline.register(REGISTRY)
 # correctness row each round.  The rotation is computed from the committed
 # CORRECTNESS_r*.json history: the queries whose newest green row is the
 # FRESHEST (and, among those, the most often proven green) rotate to the
-# tail for one round; everything whose evidence is a round old — or that
-# has never been green — sits inside the window.  Because the driver
-# commits CORRECTNESS_r{N}.json before round N+1 imports this module, the
-# schedule self-maintains: no query's newest green row ever ages past one
-# round (round 4's static tail would have parked the TPC-H shapes outside
-# the window forever — ADVICE r4).
+# tail for one round; everything with the oldest evidence — or never
+# proven green — sits inside the window.  Because the driver commits
+# CORRECTNESS_r{N}.json before round N+1 imports this module, the
+# schedule self-maintains: no query's newest green row ever ages past
+# ceil(N / 50) - 1 rounds (1 round up to 100 queries, 2 up to 150 —
+# test_registry_window.py hard-fails before the bound stretches past 2;
+# round 4's static tail would have parked the TPC-H shapes outside the
+# window forever — ADVICE r4).
 DRIVER_WINDOW = 50
 
 

@@ -931,6 +931,12 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_stream(spark, sf_dir, k=64)
 
 
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_tohdfs_spark.streaming.pivot_stream import hll_distinct_stream
+
+    return hll_distinct_stream(spark, sf_dir)
+
+
 def q_stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_tohdfs_spark.streaming.pivot_stream import cms_counts_stream
 
@@ -1662,6 +1668,10 @@ def register(registry: dict) -> None:
             # streaming counters are additive/order-insensitive, so the
             # final sketch equals the batch one and shares its oracle
             "stream_cms_counts": QuerySpec(q_stream_cms_counts, _cms_oracle()),
+            # register max-merge is order-insensitive too: same argument
+            "stream_hll_distinct": QuerySpec(
+                q_stream_hll_distinct, _hll_oracle()
+            ),
             "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, TFIDF_TOP_TERMS_ORACLE),
             "dedup_minhash": QuerySpec(q_dedup_minhash, _minhash_oracle()),
             "dedup_components": QuerySpec(q_dedup_components, _components_oracle()),

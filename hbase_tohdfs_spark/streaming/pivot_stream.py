@@ -549,3 +549,29 @@ def cms_counts_stream(
     return sketch.cms_estimate(
         _events(spark, sf_dir), "user_id", probe_values, sketch=final_sketch
     )
+
+
+def hll_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog as a plain UPDATE-mode streaming
+    aggregation — the third streaming sketch, and like the CMS twin it
+    needs no Python state: each event derives its (grp, bucket, rho)
+    cell JVM-side and the streaming ``groupBy(grp, bucket).max(rho)``
+    state IS the register array, bounded at groups*m rows forever.
+
+    Register max-merge is associative and arrival-order-insensitive, so
+    the final state equals the batch registers over the same rows and
+    the query shares the batch ``hll_distinct`` oracle verbatim.
+    Update mode re-emits a register on every batch that raises it; the
+    post-sink max recovers the final value, which flows through the
+    SAME exact-integer read-out as the batch path.
+    """
+    from hbase_tohdfs_spark.operators import sketch
+
+    events = stream_events(spark, sf_dir)
+    cells = sketch.hll_cells(events, "event_type", "user_id", b=5)
+    regs = cells.groupBy("grp", "bucket").agg(F.max("rho").alias("rho"))
+    emitted = _run_to_memory(regs, "update")
+    final_regs = emitted.groupBy("grp", "bucket").agg(
+        F.max("rho").alias("reg")
+    )
+    return sketch.hll_estimate_from_registers(final_regs, "event_type", b=5)

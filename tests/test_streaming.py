@@ -466,3 +466,25 @@ def test_multibatch_cms_sketch_equals_batch(spark, sf_dir, events_dir, monkeypat
     assert sorted(map(tuple, got), key=str) == sorted(
         map(tuple, batch), key=str
     )
+
+
+def test_multibatch_hll_sketch_equals_batch(spark, sf_dir, events_dir, monkeypatch):
+    """The streaming HLL is an update-mode max aggregation whose
+    register state merges across micro-batches into exactly the batch
+    registers (max is order- and batch-boundary-insensitive), so the
+    estimates must equal operators.sketch.hll_distinct over the same
+    rows."""
+    from hbase_tohdfs_spark.operators import sketch
+    from hbase_tohdfs_spark.queries import _events
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    monkeypatch.setattr(
+        ps, "stream_events", lambda spark_, _sf: _stream(spark_, events_dir)
+    )
+    got = ps.hll_distinct_stream(spark, sf_dir).collect()
+    batch = sketch.hll_distinct(
+        _events(spark, sf_dir), "event_type", "user_id", b=5
+    ).collect()
+    assert sorted(map(tuple, got), key=str) == sorted(
+        map(tuple, batch), key=str
+    )
