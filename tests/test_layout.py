@@ -69,3 +69,31 @@ def test_zordered_write_drops_key_and_preserves_rows(spark, tmp_path):
     assert {(r["x"], r["y"]) for r in back.collect()} == {
         (r["x"], r["y"]) for r in df.collect()
     }
+
+
+def test_zorder_property_roundtrip(spark):
+    """Property (hypothesis-driven values, one Spark job): interleave
+    then de-interleave recovers (x, y) exactly, and z preserves the
+    quadrant order the Morton curve promises (high bit of z comes from
+    the high interleaved bits)."""
+    from hypothesis import given, settings, strategies as st
+
+    cases: list[tuple[int, int]] = []
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 65535), st.integers(0, 65535))
+    def collect(x, y):
+        cases.append((x, y))
+
+    collect()
+    df = spark.createDataFrame(sorted(set(cases)), "x long, y long")
+    rows = df.select(
+        "x", "y", F.expr(layout.zorder_sql("x", "y")).alias("z")
+    ).collect()
+    for r in rows:
+        x, y, z = r["x"], r["y"], r["z"]
+        assert z == _z_py(x, y)
+        # de-interleave: even bits -> x, odd bits -> y
+        dx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (dx, dy) == (x, y)

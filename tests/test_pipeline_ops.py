@@ -751,3 +751,35 @@ def test_bloom_probe_is_map_side(spark):
     # filter keeps all 100 real keys plus (rare) false positives
     n = filtered.count()
     assert 100 <= n <= 130
+
+
+def test_hll_rho_matches_python_trailing_zeros(spark):
+    """Property (hypothesis-driven values, one Spark job): the engine's
+    bin()/TRIM rho formula equals Python's trailing-zero count + 1 for
+    arbitrary suffixes, including the w=0 cap."""
+    from hypothesis import given, settings, strategies as st
+
+    vals: set[int] = {0, 1, 2, 3, 4, (1 << 55) - 1, 1 << 54}
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, (1 << 55) - 1))
+    def collect(w):
+        vals.add(w)
+
+    collect()
+    maxrho = 56  # b=5 layout: 60-bit hash, 55-bit suffix, cap 56
+    df = spark.createDataFrame([(v,) for v in sorted(vals)], "w long")
+    got = {
+        r["w"]: r["rho"]
+        for r in df.selectExpr(
+            "w",
+            f"CASE WHEN w = 0 THEN {maxrho} ELSE length(bin(w)) -"
+            " length(trim(TRAILING '0' FROM bin(w))) + 1 END as rho",
+        ).collect()
+    }
+    for w, rho in got.items():
+        if w == 0:
+            assert rho == maxrho
+        else:
+            expect = (w & -w).bit_length()  # trailing zeros + 1
+            assert rho == expect, (w, rho, expect)
