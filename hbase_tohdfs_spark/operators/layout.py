@@ -61,11 +61,42 @@ def write_zordered(
     y_col_sql: str,
     n_files: int,
     bits: int = ZBITS,
+    validate_domain: bool = False,
 ) -> None:
     """Lay ``df`` out as ``n_files`` parquet files range-partitioned on
     the Morton key of (x, y) — one shuffle, then footer min/max stats on
     BOTH columns become selective per file.  The z column itself is
-    dropped before the write (it is layout state, not data)."""
+    dropped before the write (it is layout state, not data).
+
+    DOMAIN: only the low ``bits`` (default 16) of each dimension are
+    interleaved, so values must lie in ``[0, 2**bits)`` — anything
+    larger wraps mod ``2**bits`` and SILENTLY degrades clustering (the
+    layout still writes, the oracle still matches, but far-apart values
+    alias to the same cell).  Rebase unbounded dimensions to a
+    dataset-relative origin first (e.g. ``hour - min(hour)``, as
+    ``q_zorder_cells`` does).  Pass ``validate_domain=True`` to pay one
+    extra aggregation scan that fails loudly on out-of-range input —
+    off by default because at 100 TB the pre-scan doubles read I/O for
+    a property the caller usually knows statically."""
+    if not (0 < bits and 2 * bits < 63):
+        raise ValueError(f"bits must satisfy 0 < 2*bits < 63, got {bits}")
+    if validate_domain:
+        lim = 1 << bits
+        mx = df.selectExpr(
+            f"max(cast({x_col_sql} as bigint)) AS mx",
+            f"max(cast({y_col_sql} as bigint)) AS my",
+            f"min(cast({x_col_sql} as bigint)) AS nx",
+            f"min(cast({y_col_sql} as bigint)) AS ny",
+        ).first()
+        if (
+            mx["nx"] is not None
+            and (min(mx["nx"], mx["ny"]) < 0 or max(mx["mx"], mx["my"]) >= lim)
+        ):
+            raise ValueError(
+                f"z-order dimension out of [0, {lim}) domain: x spans "
+                f"[{mx['nx']}, {mx['mx']}], y spans [{mx['ny']}, {mx['my']}]"
+                " — rebase to a dataset-relative origin or raise bits"
+            )
     keyed = df.withColumn("_z", F.expr(zorder_sql(x_col_sql, y_col_sql, bits)))
     (
         keyed.repartitionByRange(n_files, "_z")

@@ -386,6 +386,19 @@ BLOOM_BITS = 4096
 BLOOM_HASHES = 3
 
 
+def _check_bloom_bits(m_bits: int) -> None:
+    """Reject bit counts the word-packed mask cannot represent.  A
+    position in the truncated ``m_bits % 64`` remainder would index past
+    the literal array, ``element_at`` would go null, and a REAL member
+    would be filtered out — a silent false negative."""
+    if m_bits <= 0 or m_bits % 64 != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64, got {m_bits}: "
+            "the mask is packed into 64-bit words and a remainder would "
+            "drop positions, producing bloom false negatives"
+        )
+
+
 def bloom_mask(
     df: DataFrame,
     key_col: str,
@@ -401,7 +414,13 @@ def bloom_mask(
     The build is one distributed projection (key -> k positions, a
     generator fan-out) whose DISTINCT positions collect to the driver —
     at most m_bits values regardless of build-side row count.
+
+    ``m_bits`` must be a positive multiple of 64: the mask is stored as
+    64-bit words, so a ragged bit count would silently truncate the top
+    positions and turn the no-false-negatives contract into false
+    negatives at probe time.  Fail loudly instead.
     """
+    _check_bloom_bits(m_bits)
     r = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("j")
     pos_rows = (
         df.select(F.col(key_col).cast("string").alias("v"), r)
@@ -425,7 +444,16 @@ def bloom_contains(
 ):
     """Membership-test Column: all k hash positions set in the mask.
     Pure codegen — an O(1) array index + shift per probe, no join, no
-    shuffle; `(x >> n) & 1` is bit-exact under arithmetic shift."""
+    shuffle; `(x >> n) & 1` is bit-exact under arithmetic shift.
+    ``m_bits`` must match the mask: a positive multiple of 64 equal to
+    ``64 * len(words)``, or probes could index past the array."""
+    _check_bloom_bits(m_bits)
+    if m_bits != 64 * len(words):
+        raise ValueError(
+            f"mask length mismatch: m_bits={m_bits} but words holds "
+            f"{64 * len(words)} bits — probe positions would go out of "
+            "bounds (null membership -> false negatives)"
+        )
     arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
     probes = []
     for j in range(k_hashes):

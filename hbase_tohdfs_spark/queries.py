@@ -1888,14 +1888,13 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = ev.withColumn(
         "prev", F.lag("event_type").over(w)
     ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     fmt = "yyyy-MM-dd HH:mm:ss"
     return changes.select(
         "user_id",
         F.col("event_type").alias("state"),
         F.date_format("ts", fmt).alias("valid_from"),
-        F.date_format(F.lead("ts").over(w2), fmt).alias("valid_to"),
-        F.row_number().over(w2).alias("version"),
+        F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
     )
 
 
@@ -1905,23 +1904,36 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering, surfaced as a checkable query (the layout write itself
     is exercised in tests; SCALE.md records the measured per-file span
     shrink vs a single-column layout).  Pure codegen bit-interleave;
-    the oracle replays the identical shift/mask formula."""
+    the oracle replays the identical shift/mask formula.
+
+    The hour dimension is REBASED to hours-since-min(ts): only the low
+    16 bits of each dimension interleave, and hour-since-epoch (~491k
+    in 2026) would wrap mod 65536 and alias far-apart hours into the
+    same cell.  The dataset-relative origin is one 1-row broadcast —
+    model-sized state, no extra shuffle on the fact side."""
     from hbase_tohdfs_spark.operators import layout
 
-    ev = _events(spark, sf_dir)
-    z = layout.zorder_sql(
-        "user_id", "unix_micros(ts) div 3600000000"
+    hour = "unix_micros(ts) div 3600000000"
+    ev = _events(spark, sf_dir).withColumn("_h", F.expr(hour))
+    origin = ev.agg(F.min("_h").alias("_h0"))
+    z = layout.zorder_sql("user_id", "_h - _h0")
+    return (
+        ev.crossJoin(F.broadcast(origin))
+        .select("event_id", F.expr(z).alias("zval"))
+        .orderBy("event_id")
     )
-    return ev.select("event_id", F.expr(z).alias("zval")).orderBy("event_id")
 
 
 def _zorder_oracle() -> str:
     from hbase_tohdfs_spark.operators import layout
 
-    z = layout.zorder_sql_duckdb(
-        "user_id", "epoch_us(ts) // 3600000000"
-    )
-    return f"SELECT event_id, {z} AS zval FROM events ORDER BY event_id"
+    z = layout.zorder_sql_duckdb("user_id", "_h - _h0")
+    return f"""
+    WITH h AS (SELECT event_id, user_id,
+                      epoch_us(ts) // 3600000000 AS _h FROM events),
+         o AS (SELECT min(_h) AS _h0 FROM h)
+    SELECT event_id, {z} AS zval FROM h, o ORDER BY event_id
+    """
 
 
 _SCD2_ORACLE = """

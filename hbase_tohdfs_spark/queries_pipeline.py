@@ -1100,7 +1100,6 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, made deterministic (md5 positions) so the oracle can rebuild
     the identical mask and replay every membership probe."""
     from hbase_tohdfs_spark.operators import sketch
-
     from hbase_tohdfs_spark.queries import _t
 
     cust = _t(spark, sf_dir, "customer").filter(

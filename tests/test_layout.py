@@ -97,3 +97,27 @@ def test_zorder_property_roundtrip(spark):
         dx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
         dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (dx, dy) == (x, y)
+
+
+def test_write_zordered_rejects_bad_bits(spark, tmp_path):
+    import pytest
+
+    df = spark.range(4).selectExpr("id as x", "id as y")
+    with pytest.raises(ValueError, match="bits"):
+        layout.write_zordered(df, str(tmp_path / "z"), "x", "y", 2, bits=32)
+
+
+def test_write_zordered_validate_domain_catches_wrap(spark, tmp_path):
+    """hour-since-epoch-style inputs exceed 2^16 and would silently
+    wrap; validate_domain=True fails loudly instead."""
+    import pytest
+
+    ok = spark.range(10).selectExpr("id as x", "id * 3 as y")
+    layout.write_zordered(
+        ok, str(tmp_path / "ok"), "x", "y", 2, validate_domain=True
+    )
+    bad = spark.range(10).selectExpr("id as x", "id + 491000 as y")
+    with pytest.raises(ValueError, match="domain"):
+        layout.write_zordered(
+            bad, str(tmp_path / "bad"), "x", "y", 2, validate_domain=True
+        )

@@ -783,3 +783,22 @@ def test_hll_rho_matches_python_trailing_zeros(spark):
         else:
             expect = (w & -w).bit_length()  # trailing zeros + 1
             assert rho == expect, (w, rho, expect)
+
+
+def test_bloom_rejects_ragged_bit_count(spark):
+    """m_bits not a multiple of 64 would truncate the word array and
+    turn missing high positions into FALSE NEGATIVES — both the build
+    and the probe must refuse it, and a mask/words length mismatch at
+    probe time must also fail loudly."""
+    import pytest
+
+    build = spark.range(10).selectExpr("cast(id as string) as k")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        sketch.bloom_mask(build, "k", m_bits=100)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        sketch.bloom_contains("k", [0], m_bits=100)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        sketch.bloom_mask(build, "k", m_bits=0)
+    words = sketch.bloom_mask(build, "k", m_bits=128)
+    with pytest.raises(ValueError, match="mismatch"):
+        sketch.bloom_contains("k", words, m_bits=4096)
