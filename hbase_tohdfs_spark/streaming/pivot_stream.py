@@ -21,13 +21,24 @@ and the state store is RocksDB-backed on a real cluster.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_SCHEMA_CACHE: dict[str, T.StructType] = {}
+#: keyed by (sf_dir, events.parquet mtime) so regenerating testdata
+#: within one session invalidates the memo instead of serving a stale
+#: schema (the footer probe is cheap; the wrong-schema read is not).
+_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
+
+
+def _events_mtime(sf_dir: str) -> float:
+    try:
+        return os.stat(os.path.join(sf_dir, "events.parquet")).st_mtime
+    except OSError:
+        return -1.0
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,16 +60,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     # FileStreamSource needs a directory; narrow it to the events table
     # with a glob filter.  The schema probe is a footer-only batch read,
-    # memoized per path (schemas are a property of the files, not the
-    # session) so six streaming queries don't pay six probe jobs.
-    schema = _SCHEMA_CACHE.get(sf_dir)
+    # memoized per (path, file mtime) — a property of the files, so six
+    # streaming queries share one probe job, yet a regenerated dataset
+    # re-probes instead of serving the stale schema.
+    cache_key = (sf_dir, _events_mtime(sf_dir))
+    schema = _SCHEMA_CACHE.get(cache_key)
     if schema is None:
         schema = (
             spark.read.option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
             .schema
         )
-        _SCHEMA_CACHE[sf_dir] = schema
+        _SCHEMA_CACHE[cache_key] = schema
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")

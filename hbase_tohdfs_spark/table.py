@@ -81,8 +81,14 @@ def write_cells(
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Scan the KV dataset (S1).  Family pruning and row-key predicates are
-    plain filters that Parquet row-group stats push down."""
-    return spark.read.schema(CELL_SCHEMA).parquet(path)
+    plain filters that Parquet row-group stats push down.
+
+    Routed through ``sources.scan.read_kv_source`` — the documented seam
+    where a live ``org.apache.hadoop.hbase.spark`` connector would plug
+    in behind the identical CELL_SCHEMA contract."""
+    from hbase_tohdfs_spark.sources.scan import read_kv_source
+
+    return read_kv_source(spark, path, source="parquet")
 
 
 def write_cells_bucketed(

@@ -488,3 +488,36 @@ def test_multibatch_hll_sketch_equals_batch(spark, sf_dir, events_dir, monkeypat
     assert sorted(map(tuple, got), key=str) == sorted(
         map(tuple, batch), key=str
     )
+
+
+def test_schema_memo_invalidates_on_regenerated_testdata(spark, tmp_path):
+    """The footer-schema memo is keyed by (dir, events.parquet mtime):
+    regenerating the dataset inside one session must re-probe, not
+    serve the stale schema (round-5 advisory)."""
+    import datetime
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    d = str(tmp_path)
+    p = os.path.join(d, "events.parquet")  # single FILE, like testdata
+    base = {
+        "event_id": [1],
+        "ts": [datetime.datetime(2024, 1, 1)],
+        "user_id": [7],
+        "event_type": ["view"],
+        "value": [1.0],
+    }
+    pq.write_table(pa.table(base), p)
+    first = ps.stream_events(spark, d).schema.fieldNames()
+    assert "props" not in first
+    # regenerate with an extra column and a strictly newer mtime
+    pq.write_table(pa.table({**base, "props": ["x"]}), p)
+    future = time.time() + 5
+    os.utime(p, (future, future))
+    second = ps.stream_events(spark, d).schema.fieldNames()
+    assert "props" in second, "stale memoized schema served after regen"
