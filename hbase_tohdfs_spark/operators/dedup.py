@@ -583,11 +583,109 @@ def connected_components(
     return labels.select(F.col("lu").alias("doc_id"), "component")
 
 
+#: above this corpus size the O((n/B)^2) block grid of the exact path
+#: stops being viable and embedding_dup_pairs routes to the LSH-pruned
+#: path by default (override with method="exact" to insist).
+EMBED_EXACT_MAX_VECTORS = 1_000_000
+
+
+def _lsh_candidate_pairs(
+    e: DataFrame,
+    dim: int,
+    num_tables: int = 4,
+    planes_per_table: int = 8,
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs from ``num_tables`` independent
+    sign-bucket LSH tables — the subquadratic pruning stage for
+    embedding dedup at scale.
+
+    Each table is an equi-self-join on an 8-plane bucket id (expected
+    bucket size n/256 under balance), so candidate volume is
+    ~num_tables * n^2 / 2^planes per table — LINEAR in n for any fixed
+    duplicate density, vs the O(n^2/B^2) block grid.  Recall for true
+    dups at cosine >= 0.99 (angle ~8 deg): a pair collides in one table
+    with p = (1 - theta/pi)^8 ~ 0.69, and across 4 independent tables
+    1-(1-p)^4 ~ 0.991.  ``e`` must carry (vec_id, v).
+    """
+    from hbase_tohdfs_spark.operators.similarity import (
+        bucket_expr,
+        hyperplane_signs,
+    )
+
+    all_planes = hyperplane_signs(num_tables * planes_per_table, dim)
+    cands = None
+    for t in range(num_tables):
+        planes = all_planes[t * planes_per_table : (t + 1) * planes_per_table]
+        bt = e.select(
+            "vec_id", bucket_expr("v", planes).alias("bkt")
+        )
+        pairs = (
+            bt.alias("a")
+            .join(
+                bt.alias("b"),
+                (F.col("a.bkt") == F.col("b.bkt"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+            )
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    return cands.distinct()
+
+
+def _embedding_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    round_to: int,
+    num_tables: int = 4,
+    planes_per_table: int = 8,
+) -> DataFrame:
+    """LSH-pruned embedding dedup: bucket -> candidate pairs -> EXACT
+    cosine verify on candidates only (JVM-side zip_with/aggregate dot
+    products — no Python, no GEMM needed at candidate volume).  Output
+    schema identical to the exact path; the only semantic difference is
+    recall < 1 for the candidate stage (~0.99 at threshold 0.99, see
+    ``_lsh_candidate_pairs``), which is the documented price of scale
+    past EMBED_EXACT_MAX_VECTORS."""
+    from hbase_tohdfs_spark.operators.similarity import _dot_expr, _norm_expr
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim_row = e.selectExpr("max(size(v)) AS d").first()
+    dim = int(dim_row["d"] or 0)
+    cands = _lsh_candidate_pairs(e, dim, num_tables, planes_per_table)
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    scored = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot_expr("va", "vb")
+                / (_norm_expr("va") * _norm_expr("vb")),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        F.col("id_a").alias("vec_id_a"),
+        F.col("id_b").alias("vec_id_b"),
+        "cosine",
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,
     round_to: int = 6,
     block_size: int = 1024,
+    method: str | None = None,
+    max_exact_vectors: int = EMBED_EXACT_MAX_VECTORS,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold — blocked matrix
     products.
@@ -599,14 +697,37 @@ def embedding_dup_pairs(
     Shuffle volume is n/B copies of the corpus (vs n copies for a naive
     row self-join) and every task is a dense BLAS call instead of
     per-pair interpreted expressions (~40x faster than the
-    ``aggregate(zip_with(...))`` formulation it replaced).  Beyond ~10^6
-    vectors, prune block pairs first with the LSH route in similarity.py.
+    ``aggregate(zip_with(...))`` formulation it replaced).
+
+    ENVELOPE ENFORCEMENT: the block grid is O((n/B)^2) groups, viable to
+    ~10^6 vectors.  Past ``max_exact_vectors`` the operator now ROUTES
+    to the LSH-pruned path (``_embedding_dup_pairs_lsh``: 4 sign-bucket
+    tables -> candidates -> exact verify, ~0.99 recall at threshold
+    0.99) instead of silently building a quadratic grid; a warning
+    records the switch.  Force a path with ``method="exact"`` /
+    ``method="lsh"``.
     """
     import pandas as pd
 
+    if method not in (None, "exact", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "lsh":
+        return _embedding_dup_pairs_lsh(embeddings, threshold, round_to)
     nb_row = embeddings.selectExpr(
-        f"int(ceil(count(*) / {block_size})) AS nb"
+        f"int(ceil(count(*) / {block_size})) AS nb",
+        "count(*) AS n",
     ).first()
+    if method is None and int(nb_row["n"]) > max_exact_vectors:
+        import warnings
+
+        warnings.warn(
+            f"embedding_dup_pairs: {nb_row['n']} vectors exceed the "
+            f"exact block-grid envelope ({max_exact_vectors}); routing "
+            "to the LSH-pruned path (subquadratic candidates, ~0.99 "
+            'recall). Pass method="exact" to insist on the grid.',
+            stacklevel=2,
+        )
+        return _embedding_dup_pairs_lsh(embeddings, threshold, round_to)
     nb = max(int(nb_row["nb"]), 1)
     e = embeddings.select(
         "vec_id",

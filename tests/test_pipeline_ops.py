@@ -802,3 +802,57 @@ def test_bloom_rejects_ragged_bit_count(spark):
     words = sketch.bloom_mask(build, "k", m_bits=128)
     with pytest.raises(ValueError, match="mismatch"):
         sketch.bloom_contains("k", words, m_bits=4096)
+
+
+def test_embedding_dedup_routes_to_lsh_past_envelope(spark):
+    """Past max_exact_vectors the operator must NOT build the quadratic
+    block grid: it warns, routes to the LSH-pruned path, and that path
+    still finds the planted near-dup pairs (multi-table recall ~0.99 at
+    cosine >= 0.99) while generating subquadratically many candidates."""
+    import warnings
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    base = rng.normal(size=(60, dim))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # plant a near-dup of every 10th vector: ids 1000+i
+        if i % 10 == 0:
+            w = v + 0.001 * rng.normal(size=dim)
+            rows.append((1000 + i, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in dedup.embedding_dup_pairs(
+            emb, threshold=0.99, method="exact"
+        ).collect()
+    }
+    assert exact == {(i, 1000 + i) for i in range(0, 60, 10)}
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        routed = dedup.embedding_dup_pairs(
+            emb, threshold=0.99, max_exact_vectors=10
+        )
+        assert any("LSH" in str(w.message) for w in caught)
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in routed.collect()}
+    assert got == exact  # planted dups all recalled at this scale
+
+    # subquadratic candidate stage: bucketed candidates must be far
+    # below the n*(n-1)/2 all-pairs volume for a spread-out corpus
+    n = len(rows)
+    e = emb.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+    n_cand = dedup._lsh_candidate_pairs(e, dim).count()
+    assert n_cand < 0.25 * n * (n - 1) / 2, n_cand
+
+
+def test_embedding_dedup_rejects_unknown_method(spark):
+    import pytest
+
+    emb = spark.createDataFrame([(1, [1.0])], "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError, match="unknown method"):
+        dedup.embedding_dup_pairs(emb, method="faiss")
