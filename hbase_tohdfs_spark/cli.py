@@ -274,7 +274,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from hbase_tohdfs_spark.operators import multimodal
 
             out = multimodal.phash_dup_groups(
-                multimodal.phash_images(multimodal.attach_bmp_blob(docs))
+                multimodal.phash_images(multimodal.attach_image_blob(docs))
             )
         elif args.method == "semantic":
             from hbase_tohdfs_spark.operators import similarity
@@ -341,7 +341,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         docs = spark.read.parquet(args.documentsParquet)
         if args.modality == "image":
-            out = multimodal.image_decode_resize(multimodal.attach_bmp_blob(docs))
+            out = multimodal.image_decode_resize(multimodal.attach_image_blob(docs))
         elif args.modality == "audio":
             out = multimodal.extract_audio_features(
                 multimodal.attach_wav_blob(docs)

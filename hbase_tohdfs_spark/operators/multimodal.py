@@ -8,14 +8,16 @@ typed struct, and every decode/transform runs as an Arrow-batched
 ``mapInPandas`` so Python cost is amortized per batch, not per row.
 
 IMAGE, AUDIO, and VIDEO-FRAME decode are REAL: payloads are genuine
-uncompressed containers — 24-bit BMP (``formats/bmp.py``), RIFF/WAVE PCM
+containers — 24-bit BMP (``formats/bmp.py``), 8-bit RGB PNG with full
+five-filter DEFLATE scanlines (``formats/png.py``), RIFF/WAVE PCM
 (``formats/wav.py``), and concatenated-BMP frame sequences — and the
-decoders parse headers, strides, chunk lists, and frame boundaries, then
-compute channel statistics from the actual payload bytes.  The DuckDB
-oracles replay the generation formulas independently, so a parser bug
-(stride, BGR order, row direction, chunk alignment) is a value mismatch.
-Only COMPRESSED codecs (jpeg/mp3/h264) are stubbed — their libraries
-aren't in this container — behind the same batch plumbing.
+decoders parse headers, strides, chunk lists, CRCs, filter predictors,
+and frame boundaries, then compute channel statistics from the actual
+payload bytes.  The DuckDB oracles replay the generation formulas
+independently, so a parser bug (stride, BGR order, row direction, chunk
+alignment, Paeth reconstruction) is a value mismatch.  Only codecs whose
+libraries aren't in this container (jpeg/mp3/h264) remain stubbed —
+behind the same batch plumbing.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hbase_tohdfs_spark.formats import bmp as bmpfmt
+from hbase_tohdfs_spark.formats import png as pngfmt
 from hbase_tohdfs_spark.formats import wav as wavfmt
 
 FEATURE_SCHEMA = T.StructType(
@@ -122,6 +125,89 @@ def synth_bmp(seed: bytes) -> bytes:
         for y in range(h)
     ]
     return bmpfmt.write_bmp24(w, h, pixels)
+
+
+def synth_png(seed: bytes) -> bytes:
+    """Render the SAME deterministic pixel grid as :func:`synth_bmp`
+    (identical md5-derived dimensions and channel values) into a real
+    PNG container — DEFLATE IDAT, cycled row filters, chunk CRCs.  One
+    pixel formula, two containers: the oracle replays the formula and
+    never sees bytes, so it verifies the PNG decode chain (inflate +
+    unfilter) exactly as it verifies the BMP one."""
+    d = hashlib.md5(seed).digest()
+    w = 4 + d[0] % 13
+    h = 4 + d[1] % 13
+    pixels = [
+        [
+            (d[(y * w + x + 11) % 16], d[(y * w + x + 5) % 16], d[(y * w + x) % 16])
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    return pngfmt.write_png(w, h, pixels)
+
+
+def read_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Container-dispatching image decode: sniff the magic bytes and
+    route to the real BMP or PNG parser.  Returns (width, height,
+    top-down RGB rows) either way — downstream features are
+    container-agnostic, which is what lets one corpus mix formats."""
+    payload = bytes(payload)
+    if payload[:2] == b"BM":
+        return bmpfmt.read_bmp24(payload)
+    if payload[: len(pngfmt.SIGNATURE)] == pngfmt.SIGNATURE:
+        return pngfmt.read_png(payload)
+    raise ValueError(
+        f"unsupported image container (magic {payload[:4]!r}); real "
+        "codecs here: BMP, PNG"
+    )
+
+
+def attach_image_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Render each document into a real image container — BMP for even
+    doc_ids, PNG for odd — via Arrow-batched ``mapInPandas``.  The
+    format mix is deterministic so every run of the media queries
+    exercises BOTH real decoders on half the corpus each; pixels follow
+    one formula regardless of container (see synth_png)."""
+    blob_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, mimes = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                seed = str(t).encode("utf-8")
+                if int(doc_id) % 2 == 0:
+                    blobs.append(synth_bmp(seed))
+                    mimes.append("image/bmp")
+                else:
+                    blobs.append(synth_png(seed))
+                    mimes.append("image/png")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": blobs,
+                    "meta": [
+                        {"mime": m, "n_bytes": len(b)}
+                        for m, b in zip(mimes, blobs)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(render, blob_schema)
 
 
 def attach_bmp_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -454,9 +540,10 @@ IMAGE_STAGES_SCHEMA = T.StructType(
 def image_decode_resize(
     blobs: DataFrame, target_w: int = 8, target_h: int = 8
 ) -> DataFrame:
-    """Fused REAL decode + resize: parse each BMP container ONCE and emit
-    both pipeline stages ('decode' = full-image channel means, 'resize' =
-    nearest-neighbor resample means) from the same decoded pixels.
+    """Fused REAL decode + resize: parse each image container (BMP or
+    PNG, dispatched on magic bytes) ONCE and emit both pipeline stages
+    ('decode' = full-image channel means, 'resize' = nearest-neighbor
+    resample means) from the same decoded pixels.
 
     At 100 TB the payload fetch dominates media pipelines; running decode
     and resize as separate passes reads (or re-renders) every blob twice.
@@ -470,7 +557,7 @@ def image_decode_resize(
                 "out_width": [], "out_height": [], "channel_means": [],
             }
             for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
-                w, h, rows = bmpfmt.read_bmp24(bytes(b))
+                w, h, rows = read_image(bytes(b))
                 n = w * h
                 dec = [0, 0, 0]
                 for row in rows:
@@ -655,15 +742,16 @@ PHASH_SCHEMA = T.StructType(
 
 
 def compute_phash(payload: bytes) -> str:
-    """64-bit average-hash (aHash) of a BMP payload: decode, grayscale
-    ((r+g+b)//3), nearest-neighbor resample to 8x8, threshold each cell
-    against the 8x8 mean, pack MSB-first into 16 hex chars.
+    """64-bit average-hash (aHash) of an image payload (BMP or PNG,
+    magic-dispatched): decode, grayscale ((r+g+b)//3), nearest-neighbor
+    resample to 8x8, threshold each cell against the 8x8 mean, pack
+    MSB-first into 16 hex chars.
 
     The threshold compares ``gray * 64 >= sum(grays)`` — pure integer
     arithmetic, so the bit pattern is exactly reproducible in SQL (a
     float mean would put boundary cells at the mercy of rounding).
     """
-    w, h, rows = bmpfmt.read_bmp24(bytes(payload))
+    w, h, rows = read_image(bytes(payload))
     grays = []
     for ty in range(8):
         sy = (ty * h) // 8
