@@ -2417,22 +2417,57 @@ def _green_history() -> tuple[dict[str, list[int]], int]:
     return {n: sorted(r) for n, r in greens.items()}, max_round
 
 
+def changed_since_last_green(registry=None) -> set[str]:
+    """Names whose CODE CLOSURE fingerprint differs from the one
+    recorded for their newest green driver round — i.e. queries whose
+    green evidence certifies different code than what would run today.
+
+    The comparison uses the committed per-round record
+    (``tools/query_fingerprints.json``; see ``fingerprint.py`` and
+    ``tools/update_fingerprints.py``).  A query whose last-green round
+    has no recorded fingerprint (history predating the mechanism, or an
+    ALGO bump awaiting reconstruction) is grandfathered as unchanged —
+    the gap is loud in the committed JSON, not silent in the sort."""
+    from hbase_tohdfs_spark import fingerprint as _fp
+
+    reg = REGISTRY if registry is None else registry
+    recorded = _fp.load_recorded()
+    if not recorded:
+        return set()
+    greens, _max_round = _green_history()
+    current = _fp.registry_fingerprints(reg)
+    changed = set()
+    for name, rounds in greens.items():
+        if name not in reg:
+            continue
+        fp_then = recorded.get(str(rounds[-1]), {}).get(name)
+        if fp_then is not None and fp_then != current.get(name):
+            changed.add(name)
+    return changed
+
+
 def rotation_tail(registry_names: list[str], window: int = DRIVER_WINDOW) -> list[str]:
     """The len(registry)-window names to park outside the driver window
     this round: freshest green evidence first (smallest age since last
     green), then longest proven streak, then name (an order-independent
     tie-break, so the same history always yields the same tail no matter
     how the caller's list is ordered).  Queries never proven green sort
-    last, i.e. always inside the window."""
+    last, i.e. always inside the window — and so does any query whose
+    code fingerprint CHANGED since its last green row (round-5 verdict:
+    a rewrite must never ship on stale driver evidence)."""
     n_tail = max(len(registry_names) - window, 0)
     if n_tail == 0:
         return []
     greens, max_round = _green_history()
+    changed = changed_since_last_green()
     never = max_round + len(registry_names) + 1  # sorts after any real age
 
     def key(name: str) -> tuple[int, int, str]:
         rounds = greens.get(name)
-        age = (max_round - rounds[-1]) if rounds else never
+        if rounds and name not in changed:
+            age = max_round - rounds[-1]
+        else:
+            age = never
         streak = len(rounds) if rounds else 0
         return (age, -streak, name)
 

@@ -91,3 +91,50 @@ def test_evidence_age_stays_within_two_rounds():
         f"{len(REGISTRY)} queries > {3 * DRIVER_WINDOW}: evidence could age "
         f"past 2 rounds — raise the driver window or retire queries"
     )
+
+
+def test_changed_queries_sit_inside_window():
+    """THE code-aware guarantee (round-5 verdict item 1): any query
+    whose code-closure fingerprint differs from the one its newest
+    green driver row certified must be re-proven THIS round — i.e. sit
+    inside the driver window, regardless of how fresh that green is."""
+    from hbase_tohdfs_spark.queries import changed_since_last_green
+
+    changed = changed_since_last_green()
+    window = set(list(REGISTRY)[:DRIVER_WINDOW])
+    out = sorted(changed - window)
+    assert out == [], (
+        f"queries with changed code parked outside the window: {out} — "
+        "their green evidence certifies code that no longer exists"
+    )
+
+
+def test_changed_plus_nevergreen_fit_in_window():
+    """Capacity guard: the forced-in set (changed + never-green) must
+    fit in the window, or the rotation would silently spill some of it
+    into the tail.  Fails loudly BEFORE that happens — stage rewrites
+    across rounds or raise the window."""
+    from hbase_tohdfs_spark.queries import (
+        _green_history,
+        changed_since_last_green,
+    )
+
+    greens, _ = _green_history()
+    never = {n for n in REGISTRY if not greens.get(n)}
+    forced = never | changed_since_last_green()
+    assert len(forced) <= DRIVER_WINDOW, (
+        f"{len(forced)} forced-in queries > {DRIVER_WINDOW} window slots"
+    )
+
+
+def test_fingerprint_record_is_current_algo():
+    """The committed record must match fingerprint.ALGO, else every
+    comparison silently grandfathers (load_recorded returns {})."""
+    import json
+
+    from hbase_tohdfs_spark import fingerprint as fp
+
+    with open(fp.FINGERPRINTS_PATH) as fh:
+        data = json.load(fh)
+    assert data.get("_algo") == fp.ALGO
+    assert fp.load_recorded(), "record present but unloadable"
