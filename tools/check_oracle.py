@@ -155,8 +155,14 @@ def compare(name, spark_df, con, oracle_sql):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from hbase_tohdfs_spark.session import get_spark
@@ -173,6 +179,7 @@ def main() -> int:
             f"correctness row: {past_window}"
         )
     failed = []
+    record = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -181,10 +188,12 @@ def main() -> int:
             if name not in oracles:
                 n = df.count()
                 print(f"[rows-only] {name}: {n} rows")
+                record[name] = {"ok": True, "rows_only": True, "rows": n}
                 continue
             problems = compare(name, df, con, oracles[name])
         except Exception as exc:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
+        record[name] = {"ok": not problems, "problems": problems[:4]}
         if problems:
             failed.append(name)
             print(f"[FAIL] {name}")
@@ -193,6 +202,24 @@ def main() -> int:
         else:
             print(f"[ok]   {name}")
     print(f"\n{len(failed)} failures: {failed}" if failed else "\nall queries match")
+    if json_out:
+        import json as _json
+
+        from hbase_tohdfs_spark import fingerprint as _fp
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_checked": len(record),
+            "n_failed": len(failed),
+            "fingerprints": _fp.registry_fingerprints(
+                __import__("hbase_tohdfs_spark.queries", fromlist=["REGISTRY"]).REGISTRY
+            ),
+            "results": record,
+        }
+        with open(json_out, "w") as fh:
+            _json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 

@@ -2,7 +2,7 @@
 SemDeDup at 100k vectors — the 1000x-over-gate-SF evidence runs, same
 spirit as tools/scale_demo.py (50M-cell export).
 
-Usage: python tools/scale_probe.py [bloom|semdedup|all]
+Usage: python tools/scale_probe.py [bloom|semdedup|ngram|all]
 Prints one JSON line per probe.
 """
 
@@ -107,6 +107,66 @@ def probe_semdedup(spark) -> dict:
     }
 
 
+def probe_ngram(spark, n_docs: int) -> dict:
+    """n-gram Jaccard at probe scale: measures the INDEX-JOIN candidate
+    volume (sum over kept postings of C(df,2) — exactly the pairs the
+    inverted-index join emits) with and without the df cap, plus the
+    full operator runtime.  Run at two corpus sizes, the candidate/doc
+    ratio staying ~flat is the near-linearity proof for the round-5
+    verdict item (the cap kills the quadratic boilerplate postings)."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import dedup
+    from hbase_tohdfs_spark.operators.text import shingle_docs
+
+    n_uniq = n_docs - n_docs // 20  # plant 5% exact-text dups
+    docs = spark.range(n_docs).selectExpr(
+        f"id as doc_id", f"pmod(id, {n_uniq}) as src"
+    ).selectExpr(
+        "doc_id",
+        # 2 boilerplate tokens shared by every doc (high-df shingles the
+        # cap must drop) + 10 content tokens from a 400k vocabulary
+        "concat_ws(' ', 'the', 'data', transform(sequence(0, 9), i ->"
+        " concat('w', pmod(hash(src * 13 + 7, i), 400000)))) as text",
+    )
+    sh = shingle_docs(docs, 2).select(
+        "doc_id", F.array_distinct("sh").alias("shset")
+    )
+    df_counts = (
+        sh.select(F.explode("shset").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .persist()
+    )
+    stats = df_counts.agg(
+        F.sum(F.expr("df * (df - 1) / 2")).alias("cand_uncapped"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN df <= {dedup.NGRAM_MAX_DF} THEN df * (df - 1) / 2"
+                " ELSE 0 END"
+            )
+        ).alias("cand_capped"),
+        F.max("df").alias("max_df"),
+    ).collect()[0]
+    df_counts.unpersist()
+
+    t0 = time.perf_counter()
+    n_pairs = dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.5).count()
+    op_sec = time.perf_counter() - t0
+    return {
+        "probe": f"ngram_jaccard_{n_docs}",
+        "n_docs": n_docs,
+        "n_planted_dup_docs": n_docs // 20,
+        "candidates_capped": int(stats["cand_capped"]),
+        "candidates_uncapped": int(stats["cand_uncapped"]),
+        "candidates_per_doc": round(stats["cand_capped"] / n_docs, 2),
+        "max_df": int(stats["max_df"]),
+        "pairs_out": n_pairs,
+        "operator_sec": round(op_sec, 2),
+        "pairs_per_sec": int(stats["cand_capped"] / op_sec),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from hbase_tohdfs_spark.session import get_spark
@@ -116,7 +176,11 @@ def main() -> None:
         print(json.dumps(probe_bloom(spark)))
     if which in ("semdedup", "all"):
         print(json.dumps(probe_semdedup(spark)))
+    if which in ("ngram", "all"):
+        print(json.dumps(probe_ngram(spark, 250_000)))
+        print(json.dumps(probe_ngram(spark, 1_000_000)))
 
 
 if __name__ == "__main__":
     main()
+
