@@ -100,13 +100,35 @@ def _canonical_repr(obj) -> str:
     return repr(obj)
 
 
+#: value-hashable constant types.  dict/list/set globals are EXCLUDED on
+#: purpose: module-level mutable containers are runtime caches
+#: (``pivot_stream._SCHEMA_CACHE`` fills as queries run), and hashing
+#: their VALUE would make a query's fingerprint drift within one process
+#: — the fingerprint must be a function of the code, not of what has
+#: executed so far.  Their presence is hashed by type identity only;
+#: edits to such constants ship with the function edits that use them.
+_STABLE_TYPES = (str, bytes, int, float, bool, complex, tuple, frozenset)
+
+
 def _stable_value_hash(name: str, obj) -> str:
     """Deterministic digest for a non-callable global.  ``repr`` is used
-    only when it cannot embed a memory address (the default object repr
-    would make fingerprints differ per process)."""
-    r = _canonical_repr(obj)
-    if " at 0x" in r:
-        r = f"<{type(obj).__module__}.{type(obj).__qualname__}>"
+    only for value-stable types; pyspark DataTypes render via their
+    canonical json; everything else (mutable containers, rich objects
+    whose default repr embeds a memory address) hashes as a type
+    marker."""
+    if obj is None or isinstance(obj, _STABLE_TYPES):
+        r = _canonical_repr(obj)
+        if " at 0x" in r:
+            r = f"<{type(obj).__module__}.{type(obj).__qualname__}>"
+    else:
+        try:
+            from pyspark.sql.types import DataType
+        except ImportError:  # pragma: no cover
+            DataType = ()
+        if isinstance(obj, DataType):
+            r = obj.json()
+        else:
+            r = f"<{type(obj).__module__}.{type(obj).__qualname__}>"
     return hashlib.md5(f"{name}={r}".encode()).hexdigest()
 
 
@@ -155,7 +177,14 @@ def _visit(obj, members: dict[str, str], seen: set[int]) -> None:
                 continue
             target = getattr(mod, token, None)
             if target is None:
-                continue
+                # `from package import submodule`: the attribute only
+                # exists once the submodule has been imported somewhere,
+                # which would make reachability depend on what ALREADY
+                # ran in this process.  Import it explicitly instead.
+                try:
+                    target = importlib.import_module(f"{mod_name}.{token}")
+                except ImportError:
+                    continue
             _dispatch(token, target, names, members, seen)
 
     # 2) module-level globals the code actually names

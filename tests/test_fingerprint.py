@@ -67,3 +67,21 @@ def test_registry_fingerprints_cover_every_query():
     fps = fp.registry_fingerprints(REGISTRY)
     assert set(fps) == set(REGISTRY)
     assert all(len(v) == 32 for v in fps.values())
+
+
+def test_fingerprint_stable_under_runtime_cache_mutation():
+    """Module-level mutable containers are runtime caches; filling one
+    (as any streaming query does to pivot_stream._SCHEMA_CACHE) must
+    not change any fingerprint mid-process — the full-suite failure
+    mode that motivated hashing mutables by type identity only."""
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    before = fp.registry_fingerprints(REGISTRY)
+    saved = dict(ps._SCHEMA_CACHE)
+    try:
+        ps._SCHEMA_CACHE[("/tmp/not-a-dir", 123.0)] = "polluted"
+        after = fp.registry_fingerprints(REGISTRY)
+    finally:
+        ps._SCHEMA_CACHE.clear()
+        ps._SCHEMA_CACHE.update(saved)
+    assert before == after
