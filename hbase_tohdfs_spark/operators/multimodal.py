@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hbase_tohdfs_spark.formats import bmp as bmpfmt
+from hbase_tohdfs_spark.formats import gif as giffmt
 from hbase_tohdfs_spark.formats import png as pngfmt
 from hbase_tohdfs_spark.formats import wav as wavfmt
 
@@ -147,9 +148,27 @@ def synth_png(seed: bytes) -> bytes:
     return pngfmt.write_png(w, h, pixels)
 
 
+def synth_gif(seed: bytes) -> bytes:
+    """The SAME deterministic pixel grid as :func:`synth_bmp`, rendered
+    into a real GIF87a container — palette extraction + genuine
+    variable-width LZW compression (``formats/gif.py``).  Images are
+    <= 16x16 = 256 pixels, so they always fit GIF's 256-color table."""
+    d = hashlib.md5(seed).digest()
+    w = 4 + d[0] % 13
+    h = 4 + d[1] % 13
+    pixels = [
+        [
+            (d[(y * w + x + 11) % 16], d[(y * w + x + 5) % 16], d[(y * w + x) % 16])
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    return giffmt.write_gif(w, h, pixels)
+
+
 def read_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Container-dispatching image decode: sniff the magic bytes and
-    route to the real BMP or PNG parser.  Returns (width, height,
+    route to the real BMP, PNG, or GIF parser.  Returns (width, height,
     top-down RGB rows) either way — downstream features are
     container-agnostic, which is what lets one corpus mix formats."""
     payload = bytes(payload)
@@ -157,18 +176,21 @@ def read_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
         return bmpfmt.read_bmp24(payload)
     if payload[: len(pngfmt.SIGNATURE)] == pngfmt.SIGNATURE:
         return pngfmt.read_png(payload)
+    if payload[:3] == b"GIF":
+        return giffmt.read_gif(payload)
     raise ValueError(
         f"unsupported image container (magic {payload[:4]!r}); real "
-        "codecs here: BMP, PNG"
+        "codecs here: BMP, PNG, GIF"
     )
 
 
 def attach_image_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Render each document into a real image container — BMP for even
-    doc_ids, PNG for odd — via Arrow-batched ``mapInPandas``.  The
+    """Render each document into a real image container — BMP, PNG, or
+    GIF by ``doc_id % 3`` — via Arrow-batched ``mapInPandas``.  The
     format mix is deterministic so every run of the media queries
-    exercises BOTH real decoders on half the corpus each; pixels follow
-    one formula regardless of container (see synth_png)."""
+    exercises ALL THREE real decoders (stride/BGR, inflate+unfilter,
+    palette+LZW) on a third of the corpus each; pixels follow one
+    formula regardless of container (see synth_png / synth_gif)."""
     blob_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -188,14 +210,16 @@ def attach_image_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs, mimes = [], []
+            renderers = (
+                (synth_bmp, "image/bmp"),
+                (synth_png, "image/png"),
+                (synth_gif, "image/gif"),
+            )
             for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
                 seed = str(t).encode("utf-8")
-                if int(doc_id) % 2 == 0:
-                    blobs.append(synth_bmp(seed))
-                    mimes.append("image/bmp")
-                else:
-                    blobs.append(synth_png(seed))
-                    mimes.append("image/png")
+                render, mime = renderers[int(doc_id) % 3]
+                blobs.append(render(seed))
+                mimes.append(mime)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

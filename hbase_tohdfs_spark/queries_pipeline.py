@@ -635,18 +635,19 @@ FINGERPRINTS_ORACLE = f"""
 # -------------------------------------------------------------- multimodal
 def q_media_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image pipeline at doc grain over a MIXED-FORMAT corpus:
-    even doc_ids render as uncompressed 24-bit BMP, odd as 8-bit RGB
-    PNG (DEFLATE IDAT, cycled scanline filters, CRC-checked chunks) —
+    doc_id % 3 renders uncompressed 24-bit BMP, 8-bit RGB PNG (DEFLATE
+    IDAT, cycled scanline filters, CRC-checked chunks), or GIF87a
+    (palette + variable-width LZW) —
     then 'decode' = parse the actual container (magic-dispatched) and
     compute channel means, 'resize' = nearest-neighbor 8x8 resample of
     the real pixels.  Decode and resize are FUSED into one Arrow-batched
     mapInPandas pass (each container parsed once — at scale the payload
     fetch dominates, so derived features must share it).  The oracle
     replays the pixel-generation formula (md5-digest bytes) independently
-    in SQL and never sees the container, so a bug in EITHER parser
-    (stride, BGR order, inflate, Sub/Up/Average/Paeth reconstruction) is
-    a value mismatch on that half of the corpus — see
-    multimodal.synth_bmp / synth_png."""
+    in SQL and never sees the container, so a bug in ANY parser
+    (stride, BGR order, inflate, Sub/Up/Average/Paeth reconstruction,
+    LZW code-width growth) is a value mismatch on that third of the
+    corpus — see multimodal.synth_bmp / synth_png / synth_gif."""
     docs = _t(spark, sf_dir, "documents")
     blobs = multimodal.attach_image_blob(docs)
     stages = multimodal.image_decode_resize(blobs, 8, 8)
@@ -701,7 +702,7 @@ MEDIA_IMAGE_ORACLE = """
 
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image 64-bit average hash over real mixed-format payloads
-    (BMP for even doc_ids, PNG for odd) — the fingerprint stage of image
+    (BMP / PNG / GIF by doc_id % 3) — the fingerprint stage of image
     near-dup detection.  The oracle replays the whole chain (pixel
     formula -> grayscale -> 8x8 nearest-neighbor resample -> integer
     mean threshold -> MSB-first hex packing) from md5(text), so any

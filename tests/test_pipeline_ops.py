@@ -858,17 +858,19 @@ def test_embedding_dedup_rejects_unknown_method(spark):
         dedup.embedding_dup_pairs(emb, method="faiss")
 
 
-def test_png_and_bmp_containers_decode_to_identical_pixels(spark):
-    """synth_png and synth_bmp render ONE pixel formula into two real
-    containers; the dispatching decoder must recover identical pixel
-    grids from both (inflate + unfilter vs stride + BGR rows)."""
+def test_all_containers_decode_to_identical_pixels(spark):
+    """synth_bmp / synth_png / synth_gif render ONE pixel formula into
+    three real containers; the dispatching decoder must recover
+    identical pixel grids from all (stride+BGR vs inflate+unfilter vs
+    palette+LZW)."""
     from hbase_tohdfs_spark.operators import multimodal
 
     for seed in (b"alpha", b"some longer document text", b""):
         wb, hb, rb = multimodal.read_image(multimodal.synth_bmp(seed))
         wp, hp, rp = multimodal.read_image(multimodal.synth_png(seed))
-        assert (wb, hb) == (wp, hp)
-        assert rb == rp
+        wg, hg, rg = multimodal.read_image(multimodal.synth_gif(seed))
+        assert (wb, hb) == (wp, hp) == (wg, hg)
+        assert rb == rp == rg
     import pytest
 
     with pytest.raises(ValueError, match="unsupported image container"):
@@ -876,21 +878,19 @@ def test_png_and_bmp_containers_decode_to_identical_pixels(spark):
 
 
 def test_attach_image_blob_mixes_containers_without_changing_features(spark):
-    """Even doc_ids get BMP, odd get PNG — and the decoded features are
+    """doc_id % 3 picks BMP / PNG / GIF — and the decoded features are
     identical to an all-BMP render of the same corpus, because the
     pixels derive from text alone."""
     from hbase_tohdfs_spark.operators import multimodal
 
     docs = spark.createDataFrame(
-        [(i, f"document number {i}") for i in range(8)],
+        [(i, f"document number {i}") for i in range(9)],
         "doc_id long, text string",
     )
     mixed = multimodal.attach_image_blob(docs)
     mimes = {r["doc_id"]: r["meta"]["mime"] for r in mixed.collect()}
-    assert all(
-        m == ("image/bmp" if d % 2 == 0 else "image/png")
-        for d, m in mimes.items()
-    )
+    want = ("image/bmp", "image/png", "image/gif")
+    assert all(m == want[d % 3] for d, m in mimes.items())
     feat_mixed = sorted(
         map(tuple, multimodal.image_decode_resize(mixed, 8, 8).collect())
     )
