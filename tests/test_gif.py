@@ -98,3 +98,31 @@ def test_roundtrip_property(w, h, seed):
     ]
     pix = [[colors[rng.randrange(len(colors))] for _ in range(w)] for _ in range(h)]
     assert gif.read_gif(gif.write_gif(w, h, pix)) == (w, h, pix)
+
+
+def test_decodes_real_world_gifs_if_present():
+    """Interop against files written by REAL encoders (not our own
+    writer): any system GIF under /usr/share must parse — this is what
+    pins the LZW code-width convention to actual GIF streams, not just
+    our encoder/decoder pair.  Skips if the machine has none."""
+    import glob
+
+    paths = sorted(glob.glob("/usr/share/**/*.gif", recursive=True))[:10]
+    if not paths:
+        pytest.skip("no system GIF fixtures on this machine")
+    decoded = 0
+    for p in paths:
+        data = open(p, "rb").read()
+        if data[:3] != b"GIF":
+            continue
+        try:
+            w, h, rows = gif.read_gif(data)
+        except ValueError as e:
+            if "interlaced" in str(e):
+                continue  # documented unsupported subset
+            raise
+        assert w > 0 and h > 0
+        assert len(rows) == h and all(len(r) == w for r in rows)
+        decoded += 1
+    if not decoded:
+        pytest.skip("system GIFs all outside the supported subset")

@@ -112,3 +112,29 @@ def test_paeth_predictor_spec_vectors():
     assert png._paeth(5, 5, 0) == 5  # p=10: pa=pb=5, pc=10 -> tie -> a
     assert png._paeth(100, 10, 100) == 10  # p=10: pb=0 smallest -> b
     assert png._paeth(0, 20, 10) == 10  # p=10: pa=pb=10, pc=0 -> c
+
+
+def test_decodes_real_world_pngs_if_present():
+    """Interop against PNGs written by real encoders: every 8-bit RGB
+    non-interlaced PNG under /usr/share must inflate + unfilter to its
+    declared geometry.  Skips if the machine has none in our subset."""
+    import glob
+    import struct
+
+    candidates = []
+    for p in glob.glob("/usr/share/**/*.png", recursive=True):
+        try:
+            d = open(p, "rb").read()
+        except OSError:
+            continue
+        if d[:8] != png.SIGNATURE or len(d) < 33:
+            continue
+        w, h, depth, ctype, _c, _f, inter = struct.unpack(">IIBBBBB", d[16:29])
+        if (depth, ctype, inter) == (8, 2, 0):
+            candidates.append((p, d, w, h))
+    if not candidates:
+        pytest.skip("no rgb8 non-interlaced PNG fixtures on this machine")
+    for p, d, w, h in candidates[:4]:
+        gw, gh, rows = png.read_png(d)
+        assert (gw, gh) == (w, h), p
+        assert len(rows) == h and all(len(r) == w for r in rows)
