@@ -9,15 +9,17 @@ typed struct, and every decode/transform runs as an Arrow-batched
 
 IMAGE, AUDIO, and VIDEO-FRAME decode are REAL: payloads are genuine
 containers — 24-bit BMP (``formats/bmp.py``), 8-bit RGB PNG with full
-five-filter DEFLATE scanlines (``formats/png.py``), RIFF/WAVE PCM
-(``formats/wav.py``), and concatenated-BMP frame sequences — and the
-decoders parse headers, strides, chunk lists, CRCs, filter predictors,
-and frame boundaries, then compute channel statistics from the actual
-payload bytes.  The DuckDB oracles replay the generation formulas
-independently, so a parser bug (stride, BGR order, row direction, chunk
-alignment, Paeth reconstruction) is a value mismatch.  Only codecs whose
-libraries aren't in this container (jpeg/mp3/h264) remain stubbed —
-behind the same batch plumbing.
+five-filter DEFLATE scanlines (``formats/png.py``), GIF87a with palette
++ variable-width LZW (``formats/gif.py``), baseline AND progressive
+JFIF/JPEG with Huffman entropy coding, IDCT, and chroma subsampling
+(``formats/jpeg.py``), RIFF/WAVE PCM (``formats/wav.py``), and
+concatenated-BMP frame sequences — the decoders parse headers, strides,
+chunk lists, CRCs, filter predictors, entropy-coded scans, and frame
+boundaries, then compute channel statistics from the actual payload
+bytes.  The lossless formats (BMP/PNG/GIF) join the bit-exact DuckDB
+pixel oracle in a mixed corpus; JPEG, being lossy, is verified by
+round-trip error bounds and real-world interop tests instead.  Audio
+mp3/aac remain unavailable (no codec libraries here) and raise loudly.
 """
 
 from __future__ import annotations
@@ -168,8 +170,8 @@ def synth_gif(seed: bytes) -> bytes:
 
 def read_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Container-dispatching image decode: sniff the magic bytes and
-    route to the real BMP, PNG, or GIF parser.  Returns (width, height,
-    top-down RGB rows) either way — downstream features are
+    route to the real BMP, PNG, GIF, or JPEG parser.  Returns (width,
+    height, top-down RGB rows) either way — downstream features are
     container-agnostic, which is what lets one corpus mix formats."""
     payload = bytes(payload)
     if payload[:2] == b"BM":
@@ -178,9 +180,13 @@ def read_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
         return pngfmt.read_png(payload)
     if payload[:3] == b"GIF":
         return giffmt.read_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from hbase_tohdfs_spark.formats import jpeg as jpegfmt
+
+        return jpegfmt.read_jpeg(payload)
     raise ValueError(
         f"unsupported image container (magic {payload[:4]!r}); real "
-        "codecs here: BMP, PNG, GIF"
+        "codecs here: BMP, PNG, GIF, JPEG"
     )
 
 
@@ -336,40 +342,6 @@ def resize_bmp_images(
     return blobs.mapInPandas(run, RESIZE_SCHEMA)
 
 
-def decode_image_stub(payload: bytes) -> dict:
-    """FALLBACK fake decode for non-BMP payloads (retired from the image
-    pipeline in round 5 — ``decode_bmp`` is the real path).
-
-    Derives a fake (width, height, channel_means) from the content hash
-    so tests exercise real schemas and batch shapes for formats whose
-    codecs (libjpeg etc.) aren't in this container.
-    """
-    h = hashlib.md5(payload).digest()
-    return {
-        "width": 16 + h[0] % 64,
-        "height": 16 + h[1] % 64,
-        "channel_means": [_round_half_away(h[i] / 255.0, 6) for i in (2, 3, 4)],
-    }
-
-
-def resize_stub(payload: bytes, target_w: int = 32, target_h: int = 32) -> dict:
-    """STUB image resize — scales the fake decode's channel means by the
-    pixel-count ratio (deterministic, oracle-replayable).  A real
-    deployment resamples pixels here (``PIL.Image.resize``); the
-    signature, batching, and schema are what the pipeline tests."""
-    img = decode_image_stub(payload)
-    ratio = (target_w * target_h) / (img["width"] * img["height"])
-    return {
-        "src_width": img["width"],
-        "src_height": img["height"],
-        "width": target_w,
-        "height": target_h,
-        "channel_means": [
-            _round_half_away(min(m * ratio, 1.0), 6) for m in img["channel_means"]
-        ],
-    }
-
-
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -380,26 +352,6 @@ RESIZE_SCHEMA = T.StructType(
         T.StructField("channel_means", T.ArrayType(T.DoubleType())),
     ]
 )
-
-
-def resize_images(blobs: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
-    """Arrow-batched resize over binary payloads (stubbed resampling)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [resize_stub(bytes(b), target_w, target_h) for b in pdf["blob"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "src_width": [f["src_width"] for f in feats],
-                    "src_height": [f["src_height"] for f in feats],
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
-                    "channel_means": [f["channel_means"] for f in feats],
-                }
-            )
-
-    return blobs.mapInPandas(run, RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -737,9 +689,8 @@ def sample_video_frames(blobs: DataFrame, every: int = 2) -> DataFrame:
 
 def extract_media_features(blobs: DataFrame, decoder=decode_bmp) -> DataFrame:
     """Image feature extraction through Arrow-batched ``mapInPandas``;
-    ``decoder`` is pluggable — the REAL BMP parser by default, the
-    hash-derived fake (``decode_image_stub``) for payloads whose codecs
-    aren't available here."""
+    ``decoder`` is pluggable — the REAL BMP parser by default; every
+    shipped format (BMP/PNG/GIF/JPEG) has a real parser in formats/."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -903,3 +903,58 @@ def test_attach_image_blob_mixes_containers_without_changing_features(spark):
         )
     )
     assert feat_mixed == feat_bmp
+
+
+def test_image_pipeline_accepts_jpeg_payloads(spark):
+    """The fused decode/resize stage must handle JPEG blobs through the
+    same dispatcher: features come out within JPEG's lossy tolerance of
+    the BMP-rendered truth (channel means ride on the DC coefficients,
+    so q95 keeps them within a few units)."""
+    from hbase_tohdfs_spark.formats import jpeg as jpegfmt
+    from hbase_tohdfs_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(i, f"jpeg pipeline doc {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+
+    import pandas as pd
+
+    def render_jpeg(batches):
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                w, h, rows = multimodal.read_image(
+                    multimodal.synth_bmp(str(t).encode())
+                )
+                blobs.append(jpegfmt.write_jpeg(w, h, rows, quality=95))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": blobs,
+                    "meta": [
+                        {"mime": "image/jpeg", "n_bytes": len(b)} for b in blobs
+                    ],
+                }
+            )
+
+    schema = (
+        "doc_id long, blob binary, meta struct<mime:string, n_bytes:bigint>"
+    )
+    jblobs = docs.mapInPandas(render_jpeg, schema)
+    got = {
+        (r["doc_id"], r["stage"]): r
+        for r in multimodal.image_decode_resize(jblobs, 8, 8).collect()
+    }
+    truth = {
+        (r["doc_id"], r["stage"]): r
+        for r in multimodal.image_decode_resize(
+            multimodal.attach_bmp_blob(docs), 8, 8
+        ).collect()
+    }
+    assert set(got) == set(truth)
+    for k in truth:
+        assert got[k]["src_width"] == truth[k]["src_width"]
+        assert got[k]["src_height"] == truth[k]["src_height"]
+        for a, b in zip(got[k]["channel_means"], truth[k]["channel_means"]):
+            assert abs(a - b) < 8, (k, a, b)
