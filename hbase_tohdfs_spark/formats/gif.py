@@ -242,3 +242,105 @@ def read_gif(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
     raise ValueError("no image data in GIF")
+
+
+def write_gif_frames(
+    width: int,
+    height: int,
+    frames: list[list[list[tuple[int, int, int]]]],
+) -> bytes:
+    """Encode multiple full-size frames as an animated GIF89a: one
+    global-palette-free stream where each frame carries its own LOCAL
+    color table and LZW stream, preceded by a minimal graphic-control
+    extension.  Frames are full replacements (disposal 'none'), which
+    keeps decode = per-frame decode with no compositing state."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    parts = [b"GIF89a", struct.pack("<HHBBB", width, height, 0, 0, 0)]
+    for fr in frames:
+        if len(fr) != height or any(len(r) != width for r in fr):
+            raise ValueError("every frame must be height x width")
+        single = write_gif(width, height, fr)
+        # strip header/trailer, keep (image descriptor + CT + data);
+        # the single-image writer uses a GLOBAL table, so rewrite its
+        # screen-descriptor table as a LOCAL one on the descriptor
+        flags = single[10]
+        ct_bits = (flags & 0x07) + 1
+        ct = single[13 : 13 + 3 * (1 << ct_bits)]
+        body = single[13 + len(ct) : -1]  # image descriptor + lzw
+        desc = bytearray(body[:10])
+        desc[9] = 0x80 | (ct_bits - 1)  # local color table flag + size
+        parts.append(b"\x21\xf9\x04\x00\x00\x00\x00\x00")  # GCE
+        parts.append(bytes(desc) + ct + body[10:])
+    parts.append(b";")
+    return b"".join(parts)
+
+
+def read_gif_frames(
+    payload: bytes,
+) -> tuple[int, int, list[list[list[tuple[int, int, int]]]]]:
+    """Decode EVERY image in a GIF87a/89a stream -> (screen_w,
+    screen_h, frames).  Each frame is returned at the screen geometry
+    with its pixels placed at the image descriptor's offset (no
+    inter-frame compositing — frames written by write_gif_frames are
+    full replacements; partial-update GIFs yield the painted region
+    over black)."""
+    payload = bytes(payload)
+    if payload[:3] != b"GIF" or payload[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    frames = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, w, h, iflags = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = [
+                    tuple(payload[pos + 3 * i : pos + 3 * i + 3])
+                    for i in range(n)
+                ]
+                pos += 3 * n
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if ct is None:
+                raise ValueError("no color table")
+            min_code_size = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode(bytes(lzw), min_code_size)
+            if len(indices) != w * h:
+                raise ValueError("frame pixel count mismatch")
+            frame = [[(0, 0, 0)] * sw for _ in range(sh)]
+            for y in range(h):
+                for x in range(w):
+                    if top + y < sh and left + x < sw:
+                        frame[top + y][left + x] = ct[indices[y * w + x]]
+            frames.append(frame)
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return sw, sh, frames

@@ -463,12 +463,15 @@ def attach_wav_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_wav(payload: bytes) -> dict:
-    """REAL audio decode: walk the RIFF chunks, parse interleaved int16
-    PCM, and compute per-channel RMS from the actual samples (rounded to
-    6 for hash-stable oracle comparison)."""
+    """REAL audio decode: walk the RIFF chunks, parse interleaved
+    samples (PCM16 or G.711 mu-law/A-law, dispatched on the fmt tag),
+    and compute per-channel RMS from the actual decoded waveform
+    (rounded to 6 for hash-stable oracle comparison).  The oracle
+    corpus is PCM (bit-exact replay); companded payloads flow through
+    the identical feature path via the standard expansion tables."""
     import math
 
-    rate, n_ch, chans = wavfmt.read_wav16(payload)
+    rate, n_ch, chans = wavfmt.read_wav_any(payload)
     n = len(chans[0])
     return {
         "sample_rate": rate,

@@ -126,3 +126,41 @@ def test_decodes_real_world_gifs_if_present():
         decoded += 1
     if not decoded:
         pytest.skip("system GIFs all outside the supported subset")
+
+
+def test_animated_gif_roundtrip():
+    """Multi-frame write/read: every frame survives exactly (local
+    color tables, per-frame LZW streams, GCE blocks between)."""
+    rng = random.Random(21)
+    frames = [
+        _grid(9, 6, lambda x, y: ((x * 31 + f * 97) % 256, (y * 53) % 256, f * 40))
+        for f in range(5)
+    ]
+    blob = gif.write_gif_frames(9, 6, frames)
+    assert blob[3:6] == b"89a"
+    w, h, got = gif.read_gif_frames(blob)
+    assert (w, h) == (9, 6)
+    assert got == frames
+    # the single-image reader sees the first frame
+    assert gif.read_gif(blob) == (9, 6, frames[0])
+
+
+def test_read_gif_frames_on_single_image():
+    pix = _grid(4, 3, lambda x, y: (x * 50, y * 70, 20))
+    w, h, frames = gif.read_gif_frames(gif.write_gif(4, 3, pix))
+    assert (w, h, len(frames)) == (4, 3, 1)
+    assert frames[0] == pix
+
+
+def test_read_gif_frames_real_world_if_present():
+    import glob
+
+    for p in sorted(glob.glob("/usr/share/**/*.gif", recursive=True))[:6]:
+        data = open(p, "rb").read()
+        try:
+            w, h, frames = gif.read_gif_frames(data)
+        except ValueError:
+            continue
+        assert frames and all(len(f) == h for f in frames)
+        return
+    pytest.skip("no decodable system GIFs")

@@ -958,3 +958,25 @@ def test_image_pipeline_accepts_jpeg_payloads(spark):
         assert got[k]["src_height"] == truth[k]["src_height"]
         for a, b in zip(got[k]["channel_means"], truth[k]["channel_means"]):
             assert abs(a - b) < 8, (k, a, b)
+
+
+def test_audio_pipeline_accepts_g711_payloads(spark):
+    """decode_wav dispatches on the fmt tag: a mu-law-companded render
+    of the same waveform yields RMS within companding tolerance of the
+    PCM truth, through the identical pipeline path."""
+    import math
+
+    import pandas as pd
+
+    from hbase_tohdfs_spark.formats import wav as wavfmt
+    from hbase_tohdfs_spark.operators import multimodal
+
+    tone = [int(12000 * math.sin(i / 9)) for i in range(400)]
+    pcm = wavfmt.write_wav16(8000, [tone])
+    g711 = wavfmt.write_wav_g711(8000, [tone], law="ulaw")
+    a = multimodal.decode_wav(pcm)
+    b = multimodal.decode_wav(g711)
+    assert a["sample_rate"] == b["sample_rate"] == 8000
+    assert a["n_channels"] == b["n_channels"] == 1
+    ra, rb = a["channel_rms"][0], b["channel_rms"][0]
+    assert abs(ra - rb) / ra < 0.01, (ra, rb)

@@ -122,3 +122,61 @@ def test_bmp_sequence_rejects_corrupt_boundary():
     payload[0:2] = b"XX"
     with pytest.raises(ValueError, match="frame boundary"):
         mm.sample_bmp_frames(bytes(payload))
+
+
+def test_g711_codeword_idempotence():
+    """encode(decode(code)) == code for every 8-bit codeword, both laws
+    — the defining property of a correct companding table pair."""
+    from hbase_tohdfs_spark.formats import wav
+
+    for code in range(256):
+        got = wav.linear_to_ulaw(wav.ulaw_to_linear(code))
+        # mu-law has two zero codewords (+0=0xFF, -0=0x7F); re-encoding
+        # linear 0 canonicalizes to 0xFF — the one permitted alias
+        assert got == code or (code == 0x7F and got == 0xFF)
+        assert wav.linear_to_alaw(wav.alaw_to_linear(code)) == code
+
+
+def test_g711_quantization_error_bounds():
+    """decode(encode(x)) stays within the segment's quantization step:
+    relative error shrinks for large amplitudes (logarithmic law)."""
+    from hbase_tohdfs_spark.formats import wav
+
+    for x in range(-32000, 32001, 257):
+        for enc, dec in (
+            (wav.linear_to_ulaw, wav.ulaw_to_linear),
+            (wav.linear_to_alaw, wav.alaw_to_linear),
+        ):
+            y = dec(enc(x))
+            err = abs(y - x)
+            assert err <= max(64, abs(x) / 16), (x, y)
+
+
+def test_g711_wav_roundtrip_both_laws():
+    from hbase_tohdfs_spark.formats import wav
+
+    import math
+
+    tone = [int(8000 * math.sin(i / 7)) for i in range(200)]
+    noise = [((i * 2654435761) % 65536) - 32768 for i in range(200)]
+    for law in ("ulaw", "alaw"):
+        blob = wav.write_wav_g711(8000, [tone, noise], law=law)
+        rate, n_ch, chans = wav.read_wav_any(blob)
+        assert (rate, n_ch) == (8000, 2)
+        for got, want in zip(chans, (tone, noise)):
+            for g, w in zip(got, want):
+                assert abs(g - w) <= max(64, abs(w) / 16)
+
+
+def test_read_wav_any_dispatches_pcm16():
+    from hbase_tohdfs_spark.formats import wav
+
+    blob = wav.write_wav16(16000, [[1, -1, 300, -300]])
+    assert wav.read_wav_any(blob) == (16000, 1, [[1, -1, 300, -300]])
+    import pytest
+
+    bad = bytearray(wav.write_wav_g711(8000, [[0]], law="ulaw"))
+    i = bad.index(b"fmt ") + 8
+    bad[i] = 2  # ADPCM tag: unsupported
+    with pytest.raises(ValueError, match="unsupported WAV encoding"):
+        wav.read_wav_any(bytes(bad))
