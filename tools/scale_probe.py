@@ -2,7 +2,7 @@
 SemDeDup at 100k vectors — the 1000x-over-gate-SF evidence runs, same
 spirit as tools/scale_demo.py (50M-cell export).
 
-Usage: python tools/scale_probe.py [bloom|semdedup|ngram|all]
+Usage: python tools/scale_probe.py [bloom|semdedup|ngram|minhash|all]
 Prints one JSON line per probe.
 """
 
@@ -167,6 +167,47 @@ def probe_ngram(spark, n_docs: int) -> dict:
     }
 
 
+def probe_minhash(spark, n_docs: int) -> dict:
+    """MinHash+LSH at probe scale: measures the BANDED-BUCKET candidate
+    count (the LSH join's real output) vs the all-pairs volume, plus
+    end-to-end operator wall clock and recall on planted exact dups.
+    Same synthetic corpus shape as probe_ngram."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import dedup
+
+    n_uniq = n_docs - n_docs // 20  # 5% planted exact-text dups
+    docs = spark.range(n_docs).selectExpr(
+        "id as doc_id", f"pmod(id, {n_uniq}) as src"
+    ).selectExpr(
+        "doc_id",
+        "concat_ws(' ', 'the', 'data', transform(sequence(0, 9), i ->"
+        " concat('w', pmod(hash(src * 13 + 7, i), 400000)))) as text",
+    )
+    t0 = _t.perf_counter()
+    sigs = dedup.minhash_signatures(docs, k=3).persist()
+    n_cand = dedup.lsh_candidate_pairs(sigs).count()
+    cand_sec = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    pairs = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.8)
+    n_pairs = pairs.count()
+    op_sec = _t.perf_counter() - t0
+    sigs.unpersist()
+    return {
+        "probe": f"minhash_lsh_{n_docs}",
+        "n_docs": n_docs,
+        "n_planted_dup_docs": n_docs // 20,
+        "lsh_candidates": n_cand,
+        "all_pairs": n_docs * (n_docs - 1) // 2,
+        "candidates_per_doc": round(n_cand / n_docs, 2),
+        "pairs_out": n_pairs,
+        "candidate_stage_sec": round(cand_sec, 2),
+        "operator_sec": round(op_sec, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from hbase_tohdfs_spark.session import get_spark
@@ -179,6 +220,9 @@ def main() -> None:
     if which in ("ngram", "all"):
         print(json.dumps(probe_ngram(spark, 250_000)))
         print(json.dumps(probe_ngram(spark, 1_000_000)))
+    if which in ("minhash", "all"):
+        print(json.dumps(probe_minhash(spark, 250_000)))
+        print(json.dumps(probe_minhash(spark, 1_000_000)))
 
 
 if __name__ == "__main__":
