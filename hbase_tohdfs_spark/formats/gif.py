@@ -136,6 +136,31 @@ def _sub_blocks(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _truncation_guard(fn):
+    """Re-raise raw IndexError/struct.error from a truncated payload as
+    the ValueError('truncated ...') the other codecs raise."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(payload):
+        try:
+            return fn(payload)
+        except (IndexError, struct.error) as exc:
+            raise ValueError(f"truncated GIF payload ({exc})") from exc
+
+    return inner
+
+
+def _color_table(payload: bytes, pos: int, n: int) -> tuple[list, int]:
+    """Read an n-entry RGB color table with an explicit bounds check —
+    a truncated table must raise, not yield short/empty tuples that
+    masquerade as pixels downstream."""
+    if pos + 3 * n > len(payload):
+        raise ValueError("truncated GIF color table")
+    ct = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+    return ct, pos + 3 * n
+
+
 def write_gif(
     width: int, height: int, pixels: list[list[tuple[int, int, int]]]
 ) -> bytes:
@@ -183,6 +208,7 @@ def write_gif(
     )
 
 
+@_truncation_guard
 def read_gif(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Decode a single-image non-interlaced GIF87a/89a -> (width,
     height, top-down RGB rows).  Walks the block structure (skipping
@@ -195,9 +221,7 @@ def read_gif(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]
     pos = 13
     gct = None
     if flags & 0x80:
-        n = 2 << (flags & 0x07)
-        gct = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
-        pos += 3 * n
+        gct, pos = _color_table(payload, pos, 2 << (flags & 0x07))
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # 89a extension: label + sub-blocks
@@ -210,12 +234,7 @@ def read_gif(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]
             pos += 10
             ct = gct
             if iflags & 0x80:
-                n = 2 << (iflags & 0x07)
-                ct = [
-                    tuple(payload[pos + 3 * i : pos + 3 * i + 3])
-                    for i in range(n)
-                ]
-                pos += 3 * n
+                ct, pos = _color_table(payload, pos, 2 << (iflags & 0x07))
             if iflags & 0x40:
                 raise ValueError("interlaced GIF not supported")
             if ct is None:
@@ -276,6 +295,7 @@ def write_gif_frames(
     return b"".join(parts)
 
 
+@_truncation_guard
 def read_gif_frames(
     payload: bytes,
 ) -> tuple[int, int, list[list[list[tuple[int, int, int]]]]]:
@@ -292,9 +312,7 @@ def read_gif_frames(
     pos = 13
     gct = None
     if flags & 0x80:
-        n = 2 << (flags & 0x07)
-        gct = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
-        pos += 3 * n
+        gct, pos = _color_table(payload, pos, 2 << (flags & 0x07))
     frames = []
     while pos < len(payload):
         b = payload[pos]
@@ -310,12 +328,7 @@ def read_gif_frames(
             pos += 10
             ct = gct
             if iflags & 0x80:
-                n = 2 << (iflags & 0x07)
-                ct = [
-                    tuple(payload[pos + 3 * i : pos + 3 * i + 3])
-                    for i in range(n)
-                ]
-                pos += 3 * n
+                ct, pos = _color_table(payload, pos, 2 << (iflags & 0x07))
             if iflags & 0x40:
                 raise ValueError("interlaced GIF not supported")
             if ct is None:

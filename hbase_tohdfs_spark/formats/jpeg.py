@@ -251,6 +251,10 @@ def read_jpeg(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]
     while pos < len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them instead of reading 0xFF as the code
+        while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1
         marker = d[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -472,8 +476,12 @@ def _decode_scan(
             reset_state()
         unit_count += 1
 
-    if len(scan_comps) == 1 and progressive:
-        # non-interleaved: walk the component's true block grid
+    if len(scan_comps) == 1:
+        # T.81 A.2: a single-component scan is NON-INTERLEAVED in both
+        # baseline and progressive — walk the component's true block
+        # grid, not the padded MCU grid (the padded walk would read
+        # blocks the stream doesn't contain and desync the entropy
+        # decode whenever dimensions aren't MCU-aligned)
         ci, dc_t, ac_t = scan_comps[0]
         c = comps[ci]
         for by in range(c["bh"]):

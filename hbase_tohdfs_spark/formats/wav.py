@@ -61,6 +61,8 @@ def read_wav16(payload: bytes) -> tuple[int, int, list[list[int]]]:
         if body_at + size > len(payload):
             raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size} bytes)")
             audio_fmt, n_ch, rate, _brate, _balign, bits = struct.unpack_from(
                 "<HHIIHH", payload, body_at
             )
@@ -198,6 +200,8 @@ def read_wav_any(payload: bytes) -> tuple[int, int, list[list[int]]]:
         if body_at + size > len(payload):
             raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size} bytes)")
             audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", payload, body_at
             )

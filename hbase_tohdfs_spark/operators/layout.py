@@ -88,15 +88,15 @@ def write_zordered(
             f"min(cast({x_col_sql} as bigint)) AS nx",
             f"min(cast({y_col_sql} as bigint)) AS ny",
         ).first()
-        if (
-            mx["nx"] is not None
-            and (min(mx["nx"], mx["ny"]) < 0 or max(mx["mx"], mx["my"]) >= lim)
-        ):
-            raise ValueError(
-                f"z-order dimension out of [0, {lim}) domain: x spans "
-                f"[{mx['nx']}, {mx['mx']}], y spans [{mx['ny']}, {mx['my']}]"
-                " — rebase to a dataset-relative origin or raise bits"
-            )
+        for dim, lo, hi in (("x", mx["nx"], mx["mx"]), ("y", mx["ny"], mx["my"])):
+            if lo is None:  # all-NULL dimension: nothing to range-check
+                continue
+            if lo < 0 or hi >= lim:
+                raise ValueError(
+                    f"z-order {dim} dimension out of [0, {lim}) domain: "
+                    f"spans [{lo}, {hi}] — rebase to a dataset-relative "
+                    "origin or raise bits"
+                )
     keyed = df.withColumn("_z", F.expr(zorder_sql(x_col_sql, y_col_sql, bits)))
     (
         keyed.repartitionByRange(n_files, "_z")

@@ -107,16 +107,13 @@ def _round_half_away(x: float, digits: int = 6) -> float:
     ) / scale
 
 
-def synth_bmp(seed: bytes) -> bytes:
-    """Render a deterministic tiny BMP from ``md5(seed)``.
-
-    Dimensions and every pixel derive from the digest: width/height are
-    ``4 + d[0] % 13`` / ``4 + d[1] % 13`` (4..16) and the pixel at
-    logical index ``i = y*width + x`` is
-    ``(r, g, b) = (d[(i+11) % 16], d[(i+5) % 16], d[i % 16])``.  The
-    DuckDB oracle replays exactly this formula from ``md5(text)`` hex, so
-    the Spark-side DECODE of the produced container is verified against
-    an independent reconstruction of the pixels."""
+def _synth_pixels(seed: bytes) -> tuple[int, int, list]:
+    """THE pixel formula all three synthetic containers share — and the
+    single thing every media oracle replays from ``md5(text)`` in SQL.
+    Dimensions ``4 + d[0] % 13`` x ``4 + d[1] % 13``; pixel at logical
+    index ``i = y*width + x`` is ``(d[(i+11)%16], d[(i+5)%16], d[i%16])``.
+    One definition, three writers: a formula edit cannot silently
+    diverge a third of the mixed corpus."""
     d = hashlib.md5(seed).digest()
     w = 4 + d[0] % 13
     h = 4 + d[1] % 13
@@ -127,45 +124,31 @@ def synth_bmp(seed: bytes) -> bytes:
         ]
         for y in range(h)
     ]
-    return bmpfmt.write_bmp24(w, h, pixels)
+    return w, h, pixels
+
+
+def synth_bmp(seed: bytes) -> bytes:
+    """Render the deterministic ``_synth_pixels`` grid as an
+    uncompressed 24-bit BMP (see that helper for the oracle-replayed
+    formula)."""
+    return bmpfmt.write_bmp24(*_synth_pixels(seed))
 
 
 def synth_png(seed: bytes) -> bytes:
-    """Render the SAME deterministic pixel grid as :func:`synth_bmp`
-    (identical md5-derived dimensions and channel values) into a real
-    PNG container — DEFLATE IDAT, cycled row filters, chunk CRCs.  One
-    pixel formula, two containers: the oracle replays the formula and
-    never sees bytes, so it verifies the PNG decode chain (inflate +
-    unfilter) exactly as it verifies the BMP one."""
-    d = hashlib.md5(seed).digest()
-    w = 4 + d[0] % 13
-    h = 4 + d[1] % 13
-    pixels = [
-        [
-            (d[(y * w + x + 11) % 16], d[(y * w + x + 5) % 16], d[(y * w + x) % 16])
-            for x in range(w)
-        ]
-        for y in range(h)
-    ]
-    return pngfmt.write_png(w, h, pixels)
+    """The SAME ``_synth_pixels`` grid in a real PNG container —
+    DEFLATE IDAT, cycled row filters, chunk CRCs.  One pixel formula,
+    three containers: the oracle replays the formula and never sees
+    bytes, so it verifies the PNG decode chain (inflate + unfilter)
+    exactly as it verifies the BMP one."""
+    return pngfmt.write_png(*_synth_pixels(seed))
 
 
 def synth_gif(seed: bytes) -> bytes:
-    """The SAME deterministic pixel grid as :func:`synth_bmp`, rendered
-    into a real GIF87a container — palette extraction + genuine
-    variable-width LZW compression (``formats/gif.py``).  Images are
-    <= 16x16 = 256 pixels, so they always fit GIF's 256-color table."""
-    d = hashlib.md5(seed).digest()
-    w = 4 + d[0] % 13
-    h = 4 + d[1] % 13
-    pixels = [
-        [
-            (d[(y * w + x + 11) % 16], d[(y * w + x + 5) % 16], d[(y * w + x) % 16])
-            for x in range(w)
-        ]
-        for y in range(h)
-    ]
-    return giffmt.write_gif(w, h, pixels)
+    """The SAME ``_synth_pixels`` grid in a real GIF87a container —
+    palette extraction + genuine variable-width LZW compression.
+    Images are <= 16x16 = 256 pixels, so they always fit GIF's
+    256-color table."""
+    return giffmt.write_gif(*_synth_pixels(seed))
 
 
 def read_image(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:

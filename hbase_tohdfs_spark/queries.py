@@ -2417,7 +2417,25 @@ def _green_history() -> tuple[dict[str, list[int]], int]:
     return {n: sorted(r) for n, r in greens.items()}, max_round
 
 
-def changed_since_last_green(registry=None) -> set[str]:
+_CURRENT_FPS_CACHE: list = []  # [fps] once computed — code is immutable in-process
+
+
+def _current_fingerprints(reg) -> dict[str, str]:
+    """Memoized registry fingerprints: the walk costs a full-reflection
+    pass over ~100 closures and its input (the code on disk) cannot
+    change within a process, so compute it once.  Keyed implicitly on
+    the registry object the module owns; tests that build ad-hoc
+    registries call fingerprint.registry_fingerprints directly."""
+    from hbase_tohdfs_spark import fingerprint as _fp
+
+    if reg is REGISTRY:
+        if not _CURRENT_FPS_CACHE:
+            _CURRENT_FPS_CACHE.append(_fp.registry_fingerprints(reg))
+        return _CURRENT_FPS_CACHE[0]
+    return _fp.registry_fingerprints(reg)
+
+
+def changed_since_last_green(registry=None, greens=None) -> set[str]:
     """Names whose CODE CLOSURE fingerprint differs from the one
     recorded for their newest green driver round — i.e. queries whose
     green evidence certifies different code than what would run today.
@@ -2427,15 +2445,19 @@ def changed_since_last_green(registry=None) -> set[str]:
     ``tools/update_fingerprints.py``).  A query whose last-green round
     has no recorded fingerprint (history predating the mechanism, or an
     ALGO bump awaiting reconstruction) is grandfathered as unchanged —
-    the gap is loud in the committed JSON, not silent in the sort."""
+    the gap is loud in the committed JSON, not silent in the sort.
+
+    ``greens`` lets a caller that already parsed the history (the
+    rotation) pass it in instead of re-reading every CORRECTNESS file."""
     from hbase_tohdfs_spark import fingerprint as _fp
 
     reg = REGISTRY if registry is None else registry
     recorded = _fp.load_recorded()
     if not recorded:
         return set()
-    greens, _max_round = _green_history()
-    current = _fp.registry_fingerprints(reg)
+    if greens is None:
+        greens, _max_round = _green_history()
+    current = _current_fingerprints(reg)
     changed = set()
     for name, rounds in greens.items():
         if name not in reg:
@@ -2459,7 +2481,7 @@ def rotation_tail(registry_names: list[str], window: int = DRIVER_WINDOW) -> lis
     if n_tail == 0:
         return []
     greens, max_round = _green_history()
-    changed = changed_since_last_green()
+    changed = changed_since_last_green(greens=greens)
     never = max_round + len(registry_names) + 1  # sorts after any real age
 
     def key(name: str) -> tuple[int, int, str]:

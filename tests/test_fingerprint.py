@@ -85,3 +85,23 @@ def test_fingerprint_stable_under_runtime_cache_mutation():
         ps._SCHEMA_CACHE.clear()
         ps._SCHEMA_CACHE.update(saved)
     assert before == after
+
+
+def test_update_fingerprints_refuses_algo_mismatch(tmp_path):
+    """Recording into a file written under a different ALGO must abort
+    (restamping would make incomparable rounds load as comparable)."""
+    import json
+    import subprocess
+    import sys
+
+    bad = tmp_path / "fps.json"
+    bad.write_text(json.dumps({"_algo": fp.ALGO + 999, "5": {}}))
+    proc = subprocess.run(
+        [sys.executable, "tools/update_fingerprints.py", "7", str(bad)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert proc.returncode != 0
+    assert "Reconstruct" in proc.stderr
+    assert json.loads(bad.read_text())["_algo"] == fp.ALGO + 999  # untouched

@@ -164,3 +164,16 @@ def test_read_gif_frames_real_world_if_present():
         assert frames and all(len(f) == h for f in frames)
         return
     pytest.skip("no decodable system GIFs")
+
+
+def test_truncated_payloads_raise_value_error():
+    """Truncation anywhere (color table, sub-blocks, descriptors) must
+    surface as ValueError like the other codecs, never a bare
+    IndexError or silent short color tuples (review finding)."""
+    pix = _grid(6, 5, lambda x, y: ((x * 40) % 256, (y * 60) % 256, 128))
+    blob = gif.write_gif(6, 5, pix)
+    for cut in (8, 12, 14, 20, len(blob) // 2, len(blob) - 3):
+        with pytest.raises(ValueError):
+            gif.read_gif(blob[:cut])
+        with pytest.raises(ValueError):
+            gif.read_gif_frames(blob[:cut])

@@ -135,3 +135,62 @@ def test_reencode_loop_on_real_image():
     ]
     assert sum(errs) / len(errs) < 1.0
     assert max(errs) <= 32
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker; splice
+    some before SOS and the file must still decode identically."""
+    pix = _grid(10, 7, lambda x, y: (x * 20, y * 30, 90))
+    blob = jpeg.write_jpeg(10, 7, pix, quality=95)
+    i = blob.index(b"\xff\xda")
+    padded = blob[:i] + b"\xff\xff\xff" + blob[i:]
+    assert jpeg.read_jpeg(padded) == jpeg.read_jpeg(blob)
+
+
+def test_baseline_single_component_scan_non_mcu_aligned():
+    """T.81 A.2: a single-component scan is NON-INTERLEAVED even in
+    baseline.  Hand-assemble a grayscale baseline JPEG whose width is
+    not MCU-aligned with 2x2 sampling declared; decoding on the padded
+    interleaved grid would desync the entropy stream (review finding)."""
+    import struct
+
+    w, h = 20, 12  # with 2x2 sampling: MCU grid 2x1, true block grid 3x2
+    ql = jpeg._quality_scale(jpeg._Q_LUMA, 95)
+    # luma plane, edge-replicated to the TRUE block grid (24 x 16)
+    pw, ph = 24, 16
+    plane = [0.0] * (pw * ph)
+    for y in range(ph):
+        for x in range(pw):
+            sx, sy = min(x, w - 1), min(y, h - 1)
+            plane[y * pw + x] = (sx * 9 + sy * 5) % 256 - 128
+    dc_l, ac_l = jpeg._enc_table(*jpeg._DC_LUMA), jpeg._enc_table(*jpeg._AC_LUMA)
+    wtr = jpeg._BitWriter()
+    pred = [0]
+    for by in range(2):
+        for bx in range(3):  # component raster order, NOT MCU order
+            zz = jpeg._quantized_block(plane, pw, bx * 8, by * 8, ql)
+            jpeg._encode_block(zz, pred, 0, dc_l, ac_l, wtr)
+    wtr.flush()
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    blob = bytearray(b"\xff\xd8")
+    blob += seg(0xDB, bytes([0]) + bytes(ql[jpeg.ZIGZAG[i]] for i in range(64)))
+    blob += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x22, 0]),
+    )
+    for tc_th, (bits, vals) in ((0x00, jpeg._DC_LUMA), (0x10, jpeg._AC_LUMA)):
+        blob += seg(0xC4, bytes([tc_th] + bits) + bytes(vals))
+    blob += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    blob += wtr.out
+    blob += b"\xff\xd9"
+
+    gw, gh, rows = jpeg.read_jpeg(bytes(blob))
+    assert (gw, gh) == (w, h)
+    # grayscale ramp survives within quantization error
+    for y in range(0, h, 3):
+        for x in range(0, w, 3):
+            want = (x * 9 + y * 5) % 256
+            assert abs(rows[y][x][0] - want) <= 6, (x, y, rows[y][x][0], want)

@@ -121,3 +121,22 @@ def test_write_zordered_validate_domain_catches_wrap(spark, tmp_path):
         layout.write_zordered(
             bad, str(tmp_path / "bad"), "x", "y", 2, validate_domain=True
         )
+
+
+def test_validate_domain_handles_null_dimensions(spark, tmp_path):
+    """All-NULL x must not disable the y check, and all-NULL y must not
+    crash with TypeError (review finding)."""
+    import pytest
+
+    bad_y = spark.range(5).selectExpr(
+        "cast(null as bigint) as x", "id + 491000 as y"
+    )
+    with pytest.raises(ValueError, match="domain"):
+        layout.write_zordered(
+            bad_y, str(tmp_path / "a"), "x", "y", 2, validate_domain=True
+        )
+    null_y = spark.range(5).selectExpr("id as x", "cast(null as bigint) as y")
+    layout.write_zordered(
+        null_y, str(tmp_path / "b"), "x", "coalesce(y, 0)", 2,
+        validate_domain=True,
+    )

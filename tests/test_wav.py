@@ -180,3 +180,25 @@ def test_read_wav_any_dispatches_pcm16():
     bad[i] = 2  # ADPCM tag: unsupported
     with pytest.raises(ValueError, match="unsupported WAV encoding"):
         wav.read_wav_any(bytes(bad))
+
+
+def test_short_fmt_chunk_rejected():
+    """A fmt chunk declaring fewer than 16 bytes must raise, not read
+    the next chunk's header as format fields (review finding)."""
+    import struct
+
+    from hbase_tohdfs_spark.formats import wav
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)[:12]
+    data = b"\x00\x00" * 4
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 12) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    for reader in (wav.read_wav16, wav.read_wav_any):
+        import pytest
+
+        with pytest.raises(ValueError, match="fmt chunk too short"):
+            reader(blob)

@@ -44,6 +44,18 @@ def main() -> None:
             data = json.load(fh)
     except (OSError, ValueError):
         data = {}
+    old_algo = data.get("_algo")
+    if data and old_algo != fp.ALGO:
+        # Restamping _algo would make old-algorithm rounds load as
+        # comparable to new-algorithm ones — every query with an older
+        # green would be spuriously flagged changed.  Enforce the
+        # reconstruction contract instead of silently violating it.
+        raise SystemExit(
+            f"{path} was recorded with _algo={old_algo!r} but "
+            f"fingerprint.ALGO is now {fp.ALGO}.  Reconstruct every "
+            "recorded round from its final commit with the new "
+            "algorithm (see module docstring) before recording more."
+        )
     data["_algo"] = fp.ALGO
     data[rnd] = fp.registry_fingerprints(REGISTRY)
     with open(path, "w") as fh:
