@@ -2,7 +2,7 @@
 SemDeDup at 100k vectors — the 1000x-over-gate-SF evidence runs, same
 spirit as tools/scale_demo.py (50M-cell export).
 
-Usage: python tools/scale_probe.py [bloom|semdedup|ngram|minhash|all]
+Usage: python tools/scale_probe.py [bloom|semdedup|ngram|minhash|components|all]
 Prints one JSON line per probe.
 """
 
@@ -208,6 +208,47 @@ def probe_minhash(spark, n_docs: int) -> dict:
     }
 
 
+def probe_components(spark, n_edges: int) -> dict:
+    """Connected components at probe scale: ~n_edges edges forming
+    100k 10-node chains PLUS one 100k-node chain (diameter 10^5 — the
+    path-halving stress case).  Measures rounds and wall clock; a
+    1-hop propagation would need 100k rounds, path halving needs
+    ~log2(diameter)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import dedup
+
+    n_chain_nodes = n_edges - 100_000
+    chains = spark.range(n_chain_nodes).selectExpr(
+        "id AS doc_id_a", "id + 1 AS doc_id_b"
+    ).filter("pmod(id, 10) != 9")  # break into 10-node chains
+    base = 10_000_000
+    long_chain = spark.range(100_000).selectExpr(
+        f"id + {base} AS doc_id_a", f"id + {base} + 1 AS doc_id_b"
+    )
+    edges = chains.unionByName(long_chain)
+    stats = {}
+    t0 = _t.perf_counter()
+    out = dedup.connected_components(edges, stats=stats)
+    n_nodes, n_comps = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component").alias("c"),
+    ).collect()[0]
+    sec = _t.perf_counter() - t0
+    return {
+        "probe": f"components_{n_edges}",
+        "n_edges": int(edges.count()),
+        "n_nodes": int(n_nodes),
+        "n_components": int(n_comps),
+        "long_chain_diameter": 100_000,
+        "rounds": stats.get("rounds"),
+        "converged": stats.get("converged"),
+        "total_sec": round(sec, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from hbase_tohdfs_spark.session import get_spark
@@ -223,6 +264,8 @@ def main() -> None:
     if which in ("minhash", "all"):
         print(json.dumps(probe_minhash(spark, 250_000)))
         print(json.dumps(probe_minhash(spark, 1_000_000)))
+    if which in ("components", "all"):
+        print(json.dumps(probe_components(spark, 1_000_000)))
 
 
 if __name__ == "__main__":
