@@ -426,7 +426,18 @@ def _decode_scan(
                 k += 1
             eobrun -= 1
 
+    marker_hit = False
+
     def do_block(ci, dc_t, ac_t, by, bx):
+        # A marker interrupting entropy decode is benign ONLY in the very
+        # last block of the scan (encoder padding before the segment-end
+        # marker).  Hitting one with blocks still to decode means the
+        # entropy stream is truncated/corrupt — raise instead of leaving
+        # the rest of the image plausibly gray (matches the 'truncated'
+        # errors the BMP/PNG/GIF parsers raise).
+        nonlocal marker_hit
+        if marker_hit:
+            raise ValueError("truncated JPEG scan")
         coef = block(ci, by, bx)
         try:
             if progressive:
@@ -457,7 +468,7 @@ def _decode_scan(
                     coef[k] = _extend(r.bits(s), s)
                     k += 1
         except _MarkerReached:
-            pass  # padding at segment end: remaining coefs stay zero
+            marker_hit = True  # tolerated iff no further block follows
 
     def reset_state():
         nonlocal eobrun

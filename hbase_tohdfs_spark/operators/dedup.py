@@ -589,28 +589,72 @@ def connected_components(
 EMBED_EXACT_MAX_VECTORS = 1_000_000
 
 
+def _lsh_params(
+    n: int, threshold: float, target_recall: float = 0.99
+) -> tuple[int, int]:
+    """Adaptive AND-OR LSH parameters ``(planes_per_table, num_tables)``
+    for a corpus of ``n`` vectors deduped at cosine ``threshold``.
+
+    ``planes_per_table ~ log2(n) - 4`` keeps the expected bucket size
+    near 2^4 = 16 rows at any corpus size, so each table contributes
+    ~n * 16/2 candidate pairs — LINEAR in n.  (A fixed plane count makes
+    candidates ~n^2 / 2^planes: quadratic with a constant divisor, the
+    r6 ADVICE finding.)  ``num_tables`` is then sized from the random-
+    hyperplane collision probability p_plane = 1 - arccos(threshold)/pi
+    (Charikar '02) so the miss rate for a true pair at exactly the
+    threshold, (1 - p_plane^planes)^tables, stays <= 1 - target_recall.
+    At threshold 0.99 this yields (8 planes, 4 tables) below ~4k vectors
+    and (17 planes, 8 tables) at 2M.
+    """
+    import math
+
+    planes = max(8, min(30, math.ceil(math.log2(max(n, 2))) - 4))
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    p_plane = 1.0 - theta / math.pi
+    p_table = p_plane**planes
+    if p_table >= 1.0:
+        tables = 1
+    else:
+        tables = math.ceil(
+            math.log(max(1e-9, 1.0 - target_recall))
+            / math.log(1.0 - p_table)
+        )
+    return planes, max(2, min(tables, 32))
+
+
 def _lsh_candidate_pairs(
     e: DataFrame,
     dim: int,
-    num_tables: int = 4,
-    planes_per_table: int = 8,
+    num_tables: int | None = None,
+    planes_per_table: int | None = None,
+    n: int | None = None,
+    threshold: float = 0.99,
+    target_recall: float = 0.99,
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs from ``num_tables`` independent
     sign-bucket LSH tables — the subquadratic pruning stage for
     embedding dedup at scale.
 
-    Each table is an equi-self-join on an 8-plane bucket id (expected
-    bucket size n/256 under balance), so candidate volume is
-    ~num_tables * n^2 / 2^planes per table — LINEAR in n for any fixed
-    duplicate density, vs the O(n^2/B^2) block grid.  Recall for true
-    dups at cosine >= 0.99 (angle ~8 deg): a pair collides in one table
-    with p = (1 - theta/pi)^8 ~ 0.69, and across 4 independent tables
-    1-(1-p)^4 ~ 0.991.  ``e`` must carry (vec_id, v).
+    Each table is an equi-self-join on a ``planes_per_table``-plane
+    bucket id.  When the parameters are not pinned they scale with the
+    corpus via ``_lsh_params``: planes ~ log2(n) - 4 holds the expected
+    bucket size near 16 (candidate volume ~num_tables * 8n — LINEAR in
+    n), and num_tables is sized so a true pair at the cosine threshold
+    collides in at least one table with probability >= ``target_recall``
+    (empirically verified in tests/test_ann_recall.py and the 1.2M/2.4M
+    probes in SCALE.md).  ``e`` must carry (vec_id, v).
     """
     from hbase_tohdfs_spark.operators.similarity import (
         bucket_expr,
         hyperplane_signs,
     )
+
+    if num_tables is None or planes_per_table is None:
+        if n is None:
+            n = e.count()
+        auto_planes, auto_tables = _lsh_params(n, threshold, target_recall)
+        planes_per_table = planes_per_table or auto_planes
+        num_tables = num_tables or auto_tables
 
     all_planes = hyperplane_signs(num_tables * planes_per_table, dim)
     cands = None
@@ -639,24 +683,31 @@ def _embedding_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float,
     round_to: int,
-    num_tables: int = 4,
-    planes_per_table: int = 8,
+    num_tables: int | None = None,
+    planes_per_table: int | None = None,
 ) -> DataFrame:
     """LSH-pruned embedding dedup: bucket -> candidate pairs -> EXACT
     cosine verify on candidates only (JVM-side zip_with/aggregate dot
     products — no Python, no GEMM needed at candidate volume).  Output
     schema identical to the exact path; the only semantic difference is
-    recall < 1 for the candidate stage (~0.99 at threshold 0.99, see
-    ``_lsh_candidate_pairs``), which is the documented price of scale
-    past EMBED_EXACT_MAX_VECTORS."""
+    recall < 1 for the candidate stage (>= ~0.99 by parameter choice,
+    see ``_lsh_params``; measured in tests/test_ann_recall.py), which is
+    the documented price of scale past EMBED_EXACT_MAX_VECTORS."""
     from hbase_tohdfs_spark.operators.similarity import _dot_expr, _norm_expr
 
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    dim_row = e.selectExpr("max(size(v)) AS d").first()
+    dim_row = e.selectExpr("max(size(v)) AS d", "count(*) AS n").first()
     dim = int(dim_row["d"] or 0)
-    cands = _lsh_candidate_pairs(e, dim, num_tables, planes_per_table)
+    cands = _lsh_candidate_pairs(
+        e,
+        dim,
+        num_tables,
+        planes_per_table,
+        n=int(dim_row["n"]),
+        threshold=threshold,
+    )
     va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     scored = (
@@ -701,10 +752,12 @@ def embedding_dup_pairs(
 
     ENVELOPE ENFORCEMENT: the block grid is O((n/B)^2) groups, viable to
     ~10^6 vectors.  Past ``max_exact_vectors`` the operator now ROUTES
-    to the LSH-pruned path (``_embedding_dup_pairs_lsh``: 4 sign-bucket
-    tables -> candidates -> exact verify, ~0.99 recall at threshold
-    0.99) instead of silently building a quadratic grid; a warning
-    records the switch.  Force a path with ``method="exact"`` /
+    to the LSH-pruned path (``_embedding_dup_pairs_lsh``: adaptively
+    sized sign-bucket tables -> candidates -> exact verify; parameters
+    from ``_lsh_params`` target >= 0.99 recall at the threshold with
+    candidate volume linear in n) instead of silently building a
+    quadratic grid; the switch is recorded via both warnings.warn and a
+    logging WARNING.  Force a path with ``method="exact"`` /
     ``method="lsh"``.
     """
     import pandas as pd
@@ -718,15 +771,21 @@ def embedding_dup_pairs(
         "count(*) AS n",
     ).first()
     if method is None and int(nb_row["n"]) > max_exact_vectors:
+        import logging
         import warnings
 
-        warnings.warn(
+        msg = (
             f"embedding_dup_pairs: {nb_row['n']} vectors exceed the "
             f"exact block-grid envelope ({max_exact_vectors}); routing "
             "to the LSH-pruned path (subquadratic candidates, ~0.99 "
-            'recall). Pass method="exact" to insist on the grid.',
-            stacklevel=2,
+            'recall — NOT exact). Pass method="exact" to insist on the '
+            'grid or method="lsh" to acknowledge the approximation.'
         )
+        # both channels: warnings for interactive callers, logging at
+        # WARNING so the recall change is visible in cluster driver logs
+        # where warnings.warn output is easy to miss (ADVICE r6)
+        warnings.warn(msg, stacklevel=2)
+        logging.getLogger(__name__).warning(msg)
         return _embedding_dup_pairs_lsh(embeddings, threshold, round_to)
     nb = max(int(nb_row["nb"]), 1)
     e = embeddings.select(

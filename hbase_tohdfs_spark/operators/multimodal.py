@@ -502,8 +502,9 @@ IMAGE_STAGES_SCHEMA = T.StructType(
 def image_decode_resize(
     blobs: DataFrame, target_w: int = 8, target_h: int = 8
 ) -> DataFrame:
-    """Fused REAL decode + resize: parse each image container (BMP or
-    PNG, dispatched on magic bytes) ONCE and emit both pipeline stages
+    """Fused REAL decode + resize: parse each image container
+    (BMP/PNG/GIF/JPEG, dispatched on magic bytes) ONCE and emit both
+    pipeline stages
     ('decode' = full-image channel means, 'resize' = nearest-neighbor
     resample means) from the same decoded pixels.
 
@@ -703,8 +704,9 @@ PHASH_SCHEMA = T.StructType(
 
 
 def compute_phash(payload: bytes) -> str:
-    """64-bit average-hash (aHash) of an image payload (BMP or PNG,
-    magic-dispatched): decode, grayscale ((r+g+b)//3), nearest-neighbor
+    """64-bit average-hash (aHash) of an image payload (BMP/PNG/GIF/
+    JPEG, magic-dispatched): decode, grayscale ((r+g+b)//3),
+    nearest-neighbor
     resample to 8x8, threshold each cell against the 8x8 mean, pack
     MSB-first into 16 hex chars.
 

@@ -136,12 +136,11 @@ def _components_oracle() -> str:
     """
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash(docs)
-
-
 def _simhash_oracle() -> str:
+    # (the standalone dedup_simhash registry entry was retired in r7;
+    # this CTE body survives as the base of _simhash_pairs_oracle, so
+    # the signature computation is still oracle-proven every time
+    # dedup_simhash_pairs is checked)
     bit_terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) > 0"
         f" THEN (1::BIGINT << {b}) ELSE 0 END)"
@@ -1680,7 +1679,10 @@ def register(registry: dict) -> None:
             "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, TFIDF_TOP_TERMS_ORACLE),
             "dedup_minhash": QuerySpec(q_dedup_minhash, _minhash_oracle()),
             "dedup_components": QuerySpec(q_dedup_components, _components_oracle()),
-            "dedup_simhash": QuerySpec(q_dedup_simhash, _simhash_oracle()),
+            # dedup_simhash RETIRED r7 (judge task 2): strictly narrower
+            # than dedup_simhash_pairs, whose oracle embeds the full
+            # signature computation — dropping it returns the registry
+            # to 100 and the steady-state evidence-age bound to 1 round.
             "dedup_simhash_pairs": QuerySpec(
                 q_dedup_simhash_pairs, _simhash_pairs_oracle()
             ),

@@ -80,3 +80,67 @@ def test_sq8_recall_floor(clustered, exact):
     exhaustively; only the scores are quantized)."""
     approx = similarity.sq8_topk(clustered, QUERY_IDS, k=5)
     assert recall_at_k(exact, approx, 5) >= 0.95
+
+# ---------------------------------------------------------------------------
+# Embedding-dedup LSH path: MEASURED recall vs the exact path (r6 verdict
+# task 1 — the routed >1M-vector path previously shipped on the analytic
+# collision formula alone).
+
+
+def test_lsh_params_scale_with_corpus():
+    """planes ~ log2(n) - 4 bounds the expected bucket size (~16) so the
+    candidate stage stays linear in n; num_tables grows to compensate
+    the per-table collision loss so target recall holds at every n."""
+    from hbase_tohdfs_spark.operators.dedup import _lsh_params
+    import math
+
+    for n, want_planes in ((100, 8), (4096, 8), (100_000, 13), (2_000_000, 17)):
+        planes, tables = _lsh_params(n, threshold=0.99)
+        assert planes == want_planes, (n, planes)
+        # analytic recall at the threshold must meet the 0.99 target
+        p_plane = 1 - math.acos(0.99) / math.pi
+        recall = 1 - (1 - p_plane**planes) ** tables
+        assert recall >= 0.99, (n, planes, tables, recall)
+        # expected bucket size bounded => candidates/doc bounded
+        assert n / 2**planes <= 16.5, (n, planes)
+
+
+def test_embedding_dedup_lsh_recall_measured(spark):
+    """Planted-duplicate corpus at the scale-path's own parameters: the
+    LSH-pruned path must recover >= 95% of the pairs the exact path
+    finds (analytic prediction ~0.998 at planted cosine ~0.996), and —
+    because candidates are exact-verified — report no pair the exact
+    path would not."""
+    from hbase_tohdfs_spark.operators import dedup
+
+    rng = np.random.default_rng(23)
+    n_base, n_dup, dim = 3000, 150, 32
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n_base)]
+    step = n_base // n_dup
+    for j in range(n_dup):
+        i = j * step
+        w = base[i] + 0.015 * rng.normal(size=dim)  # cosine ~0.996
+        rows.append((1_000_000 + i, [float(x) for x in w]))
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    ).persist()
+
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in dedup.embedding_dup_pairs(
+            emb, threshold=0.99, method="exact"
+        ).collect()
+    }
+    assert len(exact) >= 0.9 * n_dup  # the corpus really contains dups
+    lsh = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in dedup.embedding_dup_pairs(
+            emb, threshold=0.99, method="lsh"
+        ).collect()
+    }
+    assert lsh <= exact  # exact verify on candidates => no false pairs
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, (recall, len(exact), len(lsh))
+    emb.unpersist()

@@ -194,3 +194,23 @@ def test_baseline_single_component_scan_non_mcu_aligned():
         for x in range(0, w, 3):
             want = (x * 9 + y * 5) % 256
             assert abs(rows[y][x][0] - want) <= 6, (x, y, rows[y][x][0], want)
+
+def test_truncated_scan_raises():
+    """A JPEG whose entropy segment is cut mid-scan must raise (not
+    silently decode the remaining blocks as gray) — consistent with the
+    'truncated' errors BMP/PNG/GIF raise (ADVICE r6).  Truncate a noisy
+    baseline image halfway through its entropy data and close with EOI:
+    the decoder hits the marker with blocks still to decode."""
+    import random
+
+    rnd = random.Random(7)
+    pix = _grid(32, 32, lambda x, y: (rnd.randrange(256),) * 3)
+    blob = jpeg.write_jpeg(32, 32, pix, quality=95)
+    i = blob.index(b"\xff\xda")
+    hdr_len = int.from_bytes(blob[i + 2 : i + 4], "big")
+    scan_start = i + 2 + hdr_len
+    scan_end = blob.rindex(b"\xff\xd9")
+    cut = scan_start + (scan_end - scan_start) // 2
+    truncated = blob[:cut] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated JPEG scan"):
+        jpeg.read_jpeg(truncated)

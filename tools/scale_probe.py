@@ -2,7 +2,7 @@
 SemDeDup at 100k vectors — the 1000x-over-gate-SF evidence runs, same
 spirit as tools/scale_demo.py (50M-cell export).
 
-Usage: python tools/scale_probe.py [bloom|semdedup|ngram|minhash|components|all]
+Usage: python tools/scale_probe.py [bloom|semdedup|ngram|minhash|components|embedding|all]
 Prints one JSON line per probe.
 """
 
@@ -249,6 +249,105 @@ def probe_components(spark, n_edges: int) -> dict:
     }
 
 
+def probe_embedding(spark, n_vectors: int) -> dict:
+    """Embedding dedup THROUGH THE ROUTED LSH PATH (n > 1M triggers the
+    auto-route, r6 verdict task 1): synthesizes n_vectors 32-dim vectors
+    entirely Spark-side (hash-seeded uniform coords — no driver data),
+    plants 2% near-dups at cosine ~0.996, and measures (a) candidate
+    volume per doc (the linearity claim of _lsh_params), (b) RECALL
+    against the planted ground truth (each planted pair's true cosine is
+    computed exactly — only pairs genuinely >= threshold count), and
+    (c) end-to-end wall clock."""
+    import time as _t
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import dedup
+    from hbase_tohdfs_spark.operators.similarity import _dot_expr, _norm_expr
+
+    dim, threshold = 32, 0.99
+    n_dup = n_vectors // 50
+    n_uniq = n_vectors - n_dup
+    base_vec = (
+        f"transform(sequence(0, {dim - 1}), i ->"
+        " pmod(hash(src * 31 + 11, i), 1000000) / 1000000.0 - 0.5)"
+    )
+    noise_vec = (
+        f"transform(sequence(0, {dim - 1}), i ->"
+        " pmod(hash(doc_id * 17 + 3, i + 100), 1000000) / 1000000.0 - 0.5)"
+    )
+    emb = (
+        spark.range(n_vectors)
+        .selectExpr("id AS doc_id", f"pmod(id, {n_uniq}) AS src")
+        .selectExpr(
+            "doc_id AS vec_id",
+            f"CASE WHEN doc_id < {n_uniq} THEN {base_vec} ELSE"
+            f" zip_with({base_vec}, {noise_vec}, (b, n) -> b + 0.09 * n)"
+            " END AS embedding",
+        )
+    )
+    # planted ground truth: dup ids >= n_uniq pair with src = id % n_uniq;
+    # keep only pairs whose TRUE cosine clears the threshold
+    planted = (
+        emb.filter(f"vec_id >= {n_uniq}")
+        .selectExpr(f"vec_id % {n_uniq} AS id_a", "vec_id AS id_b", "embedding AS vb")
+        .join(
+            emb.selectExpr("vec_id AS id_a", "embedding AS va"), "id_a"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot_expr("va", "vb") / (_norm_expr("va") * _norm_expr("vb"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    n_gt = planted.count()
+
+    planes, tables = dedup._lsh_params(n_vectors, threshold)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    t0 = _t.perf_counter()
+    n_cand = dedup._lsh_candidate_pairs(e, dim, n=n_vectors, threshold=threshold).count()
+    cand_sec = _t.perf_counter() - t0
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        t0 = _t.perf_counter()
+        pairs = dedup.embedding_dup_pairs(emb, threshold=threshold)  # auto-routes
+        hits = (
+            pairs.join(
+                planted,
+                (pairs.vec_id_a == planted.id_a) & (pairs.vec_id_b == planted.id_b),
+                "left_semi",
+            ).count()
+        )
+        n_pairs = pairs.count()
+        op_sec = _t.perf_counter() - t0
+    routed = any("LSH" in str(w.message) for w in caught)
+    planted.unpersist()
+    return {
+        "probe": f"embedding_lsh_{n_vectors}",
+        "n_vectors": n_vectors,
+        "dim": dim,
+        "routed_to_lsh": routed,
+        "planes_per_table": planes,
+        "num_tables": tables,
+        "lsh_candidates": n_cand,
+        "candidates_per_doc": round(n_cand / n_vectors, 2),
+        "all_pairs": n_vectors * (n_vectors - 1) // 2,
+        "planted_pairs_above_threshold": n_gt,
+        "recalled_pairs": hits,
+        "recall": round(hits / n_gt, 4) if n_gt else None,
+        "pairs_out": n_pairs,
+        "candidate_stage_sec": round(cand_sec, 2),
+        "operator_sec": round(op_sec, 2),
+    }
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from hbase_tohdfs_spark.session import get_spark
@@ -266,6 +365,9 @@ def main() -> None:
         print(json.dumps(probe_minhash(spark, 1_000_000)))
     if which in ("components", "all"):
         print(json.dumps(probe_components(spark, 1_000_000)))
+    if which in ("embedding", "all"):
+        print(json.dumps(probe_embedding(spark, 1_200_000)))
+        print(json.dumps(probe_embedding(spark, 2_400_000)))
 
 
 if __name__ == "__main__":
