@@ -21,6 +21,12 @@ of real JFIF files produced by real encoders.
 
 No reference counterpart: tmalaska/HBase-ToHDFS has no media path; this
 supports the training-data-pipeline surface (SURVEY.md north star).
+
+PRODUCTION SEAM: this interpreted decoder is the sandbox reference
+implementation, not the 100 TB deployment shape — at scale, swap
+``read_jpeg``/``write_jpeg`` for libjpeg-turbo/Pillow-SIMD behind the
+same signatures; every ``mapInPandas`` stage, plan, and oracle above
+the seam is unchanged (SCALE.md "The production codec seam").
 """
 
 from __future__ import annotations

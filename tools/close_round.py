@@ -1,0 +1,120 @@
+"""One-command end-of-round close-out (r6 verdict task 3).
+
+The end-of-round protocol has three steps that are only sound TOGETHER
+and IN ORDER — a half-run (e.g. fingerprints recorded but no full sweep,
+or a sweep against code that then changed) silently breaks the
+code-aware rotation's contract.  This script makes the protocol atomic:
+
+  1. GUARD: refuse to run with uncommitted .py changes — the
+     fingerprints must certify exactly the code the driver will run.
+  2. FULL SWEEP: ``tools/check_oracle.py <sf_dir> --json
+     ORACLE_FULL_r0N.json`` over the entire registry (not just the
+     driver's 50-entry window).  Any failure aborts the close-out
+     BEFORE fingerprints are recorded.
+  3. FINGERPRINTS: ``tools/update_fingerprints.py N`` — records the
+     code-closure fingerprints the round-N driver run will certify.
+  4. BENCH: K runs of ``bench.py`` (default 3) to lay smoothing
+     history for the per-query minima in BENCH_HISTORY.jsonl.
+
+Usage:
+    python tools/close_round.py N [--bench-runs K] [--sf-dir DIR]
+                                  [--skip-bench] [--allow-dirty]
+
+Prints the files to commit at the end; committing is left to the
+operator so the close-out artifacts land in a reviewable commit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(cmd: list[str], **kw) -> subprocess.CompletedProcess:
+    print(f"\n=== close_round: {' '.join(cmd)}", flush=True)
+    return subprocess.run(cmd, cwd=REPO, **kw)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("round", type=int)
+    ap.add_argument("--bench-runs", type=int, default=3)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument(
+        "--allow-dirty",
+        action="store_true",
+        help="proceed despite uncommitted .py changes (fingerprints may "
+        "then certify code the driver never runs — know what you're doing)",
+    )
+    args = ap.parse_args()
+
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout
+    dirty_py = [
+        ln for ln in dirty.splitlines() if ln.strip().endswith(".py")
+    ]
+    if dirty_py and not args.allow_dirty:
+        print(
+            "close_round: uncommitted .py changes — commit first so the "
+            "fingerprints certify the code the driver runs "
+            f"(or pass --allow-dirty):\n" + "\n".join(dirty_py),
+            file=sys.stderr,
+        )
+        return 2
+
+    sweep_path = f"ORACLE_FULL_r{args.round:02d}.json"
+    rc = _run(
+        [
+            sys.executable,
+            "tools/check_oracle.py",
+            args.sf_dir,
+            "--json",
+            sweep_path,
+        ]
+    ).returncode
+    if rc != 0:
+        print(
+            f"close_round: full sweep FAILED (rc {rc}) — fix the "
+            "failing queries; fingerprints were NOT recorded",
+            file=sys.stderr,
+        )
+        return rc
+
+    rc = _run(
+        [sys.executable, "tools/update_fingerprints.py", str(args.round)]
+    ).returncode
+    if rc != 0:
+        print(f"close_round: update_fingerprints FAILED (rc {rc})", file=sys.stderr)
+        return rc
+
+    if not args.skip_bench:
+        for i in range(args.bench_runs):
+            rc = _run([sys.executable, "bench.py"]).returncode
+            if rc != 0:
+                print(
+                    f"close_round: bench run {i + 1} FAILED (rc {rc})",
+                    file=sys.stderr,
+                )
+                return rc
+
+    print(
+        "\nclose_round: COMPLETE — commit the artifacts:\n"
+        f"  git add {sweep_path} tools/query_fingerprints.json "
+        "BENCH_HISTORY.jsonl\n"
+        f'  git commit -m "Round {args.round} close-out: full-registry '
+        'oracle sweep, fingerprints, bench history"'
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
