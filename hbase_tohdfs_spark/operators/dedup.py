@@ -643,6 +643,12 @@ def _lsh_candidate_pairs(
     collides in at least one table with probability >= ``target_recall``
     (empirically verified in tests/test_ann_recall.py and the 1.2M/2.4M
     probes in SCALE.md).  ``e`` must carry (vec_id, v).
+
+    NOTE: this enumerator DEFINES the candidate set (and serves tests /
+    probes); the shipped verify path (``_embedding_dup_pairs_lsh``)
+    scores exactly this set bucket-locally without materializing it —
+    joining vectors back onto an explicit pair list shuffles a full
+    vector per pair, which is what exhausted spill disk at 2.4M vectors.
     """
     from hbase_tohdfs_spark.operators.similarity import (
         bucket_expr,
@@ -679,6 +685,17 @@ def _lsh_candidate_pairs(
     return cands.distinct()
 
 
+#: bucket-group coarsening: verify groups merge 2^_LSH_GROUP_SHIFT
+#: adjacent buckets so one Arrow batch / one GEMM serves ~16 buckets
+#: (per-group Python overhead amortized ~16x; cross-bucket pairs are
+#: masked out, so the candidate-pair SET is unchanged)
+_LSH_GROUP_SHIFT = 4
+#: row-block edge for the in-group GEMM: a pathological bucket (a
+#: 100k-strong duplicate cluster) is scored in bounded-memory blocks
+#: instead of one giant matrix product
+_LSH_GEMM_BLOCK = 4096
+
+
 def _embedding_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float,
@@ -686,47 +703,124 @@ def _embedding_dup_pairs_lsh(
     num_tables: int | None = None,
     planes_per_table: int | None = None,
 ) -> DataFrame:
-    """LSH-pruned embedding dedup: bucket -> candidate pairs -> EXACT
-    cosine verify on candidates only (JVM-side zip_with/aggregate dot
-    products — no Python, no GEMM needed at candidate volume).  Output
-    schema identical to the exact path; the only semantic difference is
-    recall < 1 for the candidate stage (>= ~0.99 by parameter choice,
-    see ``_lsh_params``; measured in tests/test_ann_recall.py), which is
-    the documented price of scale past EMBED_EXACT_MAX_VECTORS."""
-    from hbase_tohdfs_spark.operators.similarity import _dot_expr, _norm_expr
+    """LSH-pruned embedding dedup with BUCKET-LOCAL exact verification.
+
+    The candidate-pair set is exactly ``_lsh_candidate_pairs``'s (pairs
+    sharing a full bucket in >= 1 table) — but it is never materialized
+    as a pair list.  Doing candidates-then-join-vectors-back shuffles
+    both full vectors PER CANDIDATE PAIR: at 2.4M vectors / 32 dims
+    that is ~430M pairs x ~280 bytes ~= 120 GB of shuffle, which is
+    what killed the first 2.4M probe run (spill-to-disk exhaustion).
+    Instead each table ships the corpus once (num_tables x corpus ~=
+    6 GB at the same scale — ~20x less), groups vectors by bucket, and
+    scores pairwise cosines with one NumPy GEMM per group, the same
+    verify shape minhash and SemDeDup use.  Groups merge
+    2^_LSH_GROUP_SHIFT adjacent buckets (mask the cross-bucket pairs)
+    so per-group Python overhead is amortized; a mega-bucket is scored
+    in _LSH_GEMM_BLOCK-row blocks, bounded memory regardless of skew.
+
+    Output schema and rounding match the exact block-grid path
+    (np.round then >= threshold), so the result is a strict subset of
+    the exact path's pairs; the only semantic difference is candidate-
+    stage recall (>= ~0.99 by ``_lsh_params`` choice; measured in
+    tests/test_ann_recall.py and the SCALE.md probes).  Pairs caught in
+    several tables dedup via ``distinct`` over bit-identical rows."""
+    import pandas as pd
+
+    from hbase_tohdfs_spark.operators.similarity import (
+        bucket_expr,
+        hyperplane_signs,
+    )
 
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     dim_row = e.selectExpr("max(size(v)) AS d", "count(*) AS n").first()
     dim = int(dim_row["d"] or 0)
-    cands = _lsh_candidate_pairs(
-        e,
-        dim,
-        num_tables,
-        planes_per_table,
-        n=int(dim_row["n"]),
-        threshold=threshold,
-    )
-    va = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    scored = (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                _dot_expr("va", "vb")
-                / (_norm_expr("va") * _norm_expr("vb")),
-                round_to,
-            ).alias("cosine"),
+    if num_tables is None or planes_per_table is None:
+        auto_planes, auto_tables = _lsh_params(int(dim_row["n"]), threshold)
+        planes_per_table = planes_per_table or auto_planes
+        num_tables = num_tables or auto_tables
+
+    all_planes = hyperplane_signs(num_tables * planes_per_table, dim)
+    tagged = None
+    for t in range(num_tables):
+        planes = all_planes[t * planes_per_table : (t + 1) * planes_per_table]
+        bt = e.select(
+            F.lit(t).alias("tbl"),
+            bucket_expr("v", planes).alias("bkt"),
+            "vec_id",
+            "v",
         )
+        tagged = bt if tagged is None else tagged.unionByName(bt)
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out_a, out_b, out_c = [], [], []
+        vecs = np.stack(pdf["v"].to_numpy())
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        bkts = pdf["bkt"].to_numpy()
+        order = np.argsort(bkts, kind="stable")
+        vecs, ids, bkts = vecs[order], ids[order], bkts[order]
+        starts = np.flatnonzero(np.r_[True, bkts[1:] != bkts[:-1]])
+        bounds = np.r_[starts, len(bkts)]
+        for s, eend in zip(bounds[:-1], bounds[1:]):
+            m = eend - s
+            if m < 2:
+                continue
+            bv, bi = vecs[s:eend], ids[s:eend]
+            for r0 in range(0, m, _LSH_GEMM_BLOCK):
+                r1 = min(r0 + _LSH_GEMM_BLOCK, m)
+                a, ai = bv[r0:r1], bi[r0:r1]
+                # within-block: both orders computed -> keep id_a < id_b
+                cos = np.round(a @ a.T, round_to)
+                ia, ib = np.nonzero(cos >= threshold)
+                ids_a, ids_b = ai[ia], ai[ib]
+                keep = ids_a < ids_b
+                out_a.append(ids_a[keep])
+                out_b.append(ids_b[keep])
+                out_c.append(cos[ia, ib][keep])
+                if r1 < m:
+                    # block x tail: each pair once, in POSITION order —
+                    # normalize to (lo, hi) ids, never filter (a filter
+                    # would drop pairs whose ids happen to sort against
+                    # the bucket's position order; same lesson as the
+                    # exact grid's cross-block branch above)
+                    cos = np.round(a @ bv[r1:].T, round_to)
+                    ia, ib = np.nonzero(cos >= threshold)
+                    ids_a, ids_b = ai[ia], bi[r1:][ib]
+                    out_a.append(np.minimum(ids_a, ids_b))
+                    out_b.append(np.maximum(ids_a, ids_b))
+                    out_c.append(cos[ia, ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_id_a": [], "vec_id_b": [], "cosine": []}
+            ).astype(
+                {"vec_id_a": "int64", "vec_id_b": "int64", "cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.concatenate(out_a),
+                "vec_id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    grouped = tagged.withColumn(
+        "grp", F.shiftright("bkt", _LSH_GROUP_SHIFT)
     )
-    return scored.filter(F.col("cosine") >= threshold).select(
-        F.col("id_a").alias("vec_id_a"),
-        F.col("id_b").alias("vec_id_b"),
-        "cosine",
+    pairs = grouped.groupBy("tbl", "grp").applyInPandas(
+        score_group, "vec_id_a long, vec_id_b long, cosine double"
+    )
+    # a pair found in k tables yields k rows; the cosines are the same
+    # dot product but different GEMM shapes may, at the last bit before
+    # rounding, disagree — keyed max() collapses them robustly where a
+    # distinct() could leak a twin row (post-threshold volume is tiny,
+    # so this aggregation is on near-dup pairs only)
+    return pairs.groupBy("vec_id_a", "vec_id_b").agg(
+        F.max("cosine").alias("cosine")
     )
 
 

@@ -309,9 +309,26 @@ def probe_embedding(spark, n_vectors: int) -> dict:
     n_gt = planted.count()
 
     planes, tables = dedup._lsh_params(n_vectors, threshold)
+    # candidate volume = sum of b*(b-1)/2 over every (table, bucket) —
+    # the pair set the bucket-local verify actually scores (pre cross-
+    # table dedup), computed from bucket SIZES (a counts-only shuffle)
+    # rather than materializing the pairs themselves
+    from hbase_tohdfs_spark.operators.similarity import (
+        bucket_expr,
+        hyperplane_signs,
+    )
+
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    all_planes = hyperplane_signs(tables * planes, dim)
     t0 = _t.perf_counter()
-    n_cand = dedup._lsh_candidate_pairs(e, dim, n=n_vectors, threshold=threshold).count()
+    n_cand = 0
+    for t in range(tables):
+        pl = all_planes[t * planes : (t + 1) * planes]
+        sizes = e.select(bucket_expr("v", pl).alias("bkt")).groupBy("bkt").count()
+        row = sizes.selectExpr(
+            "sum(count * (count - 1) / 2) AS pairs"
+        ).first()
+        n_cand += int(row["pairs"] or 0)
     cand_sec = _t.perf_counter() - t0
 
     with warnings.catch_warnings(record=True) as caught:
@@ -336,8 +353,8 @@ def probe_embedding(spark, n_vectors: int) -> dict:
         "routed_to_lsh": routed,
         "planes_per_table": planes,
         "num_tables": tables,
-        "lsh_candidates": n_cand,
-        "candidates_per_doc": round(n_cand / n_vectors, 2),
+        "candidate_evaluations": n_cand,
+        "cand_evals_per_doc": round(n_cand / n_vectors, 2),
         "all_pairs": n_vectors * (n_vectors - 1) // 2,
         "planted_pairs_above_threshold": n_gt,
         "recalled_pairs": hits,
