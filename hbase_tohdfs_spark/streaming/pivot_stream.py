@@ -80,7 +80,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(raw)
 
 
-def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(
+    agg: DataFrame, mode: str, needs_watermark_flush: bool = False
+) -> DataFrame:
     """Execute a bounded backfill into a memory sink; return the result.
 
     Stateful streaming ops create one state-store instance PER shuffle
@@ -89,28 +91,50 @@ def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
     the harness's bounded toy backfills that fixed cost dominates wall
     clock (measured: the interval join drops 6.7s -> 2.8s going 32 -> 8
     partitions at sf0.01).  Size state partitions to the workload via
-    ``SPARK_GRAFT_STREAM_PARTS`` (default 8); a production deployment
-    with real state volume sets the session's shuffle-partition conf to
-    O(cluster cores) and raises this knob to match.  The conf is scoped
-    to the run: the streaming query captures it at start and the prior
-    value is restored for subsequent batch queries.
+    ``SPARK_GRAFT_STREAM_PARTS`` (default 4; r7 measured the sf0.1
+    interval join at 1.86s/8 parts vs 1.06s/4 parts); a production
+    deployment with real state volume sets the session's
+    shuffle-partition conf to O(cluster cores) and raises this knob to
+    match.  Both confs are scoped to the run: the streaming query
+    captures them at start and prior values are restored for
+    subsequent batch queries.
+
+    ``needs_watermark_flush``: by default the run DISABLES the no-data
+    micro-batch (r6 verdict task 4 — it costs ~0.6-0.9s of state-store
+    commits per query and exists to advance the watermark after the
+    last data batch).  That is safe for every current twin: complete
+    mode re-emits everything per batch, update mode emits on change,
+    and the append-mode sites (stream-stream inner join,
+    dropDuplicates) emit eagerly in the data batch — the flush batch
+    only evicts state a terminating backfill no longer needs.  An
+    APPEND-MODE AGGREGATION (window/session agg emitted only once the
+    watermark passes) gets NO rows without the flush batch — such a
+    call site MUST pass needs_watermark_flush=True.
     """
     import os
 
     from hbase_tohdfs_spark.operators import cacheutil
 
     spark = agg.sparkSession
-    parts = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"))
+    parts = int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", "4"))
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    saved_nodata = spark.conf.get(nodata_key, "true")
     with cacheutil.scoped_shuffle_partitions(spark, parts):
-        name = f"stream_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
+        spark.conf.set(
+            nodata_key, "true" if needs_watermark_flush else "false"
         )
-        q.awaitTermination()
+        try:
+            name = f"stream_{uuid.uuid4().hex[:8]}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set(nodata_key, saved_nodata)
     return spark.table(name)
 
 
