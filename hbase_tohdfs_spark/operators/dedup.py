@@ -588,6 +588,10 @@ def connected_components(
 #: path by default (override with method="exact" to insist).
 EMBED_EXACT_MAX_VECTORS = 1_000_000
 
+#: hard cap on AND-OR LSH tables: each table costs one corpus copy of
+#: shuffle, so past this the pruning no longer pays for itself
+_LSH_MAX_TABLES = 32
+
 
 def _lsh_params(
     n: int, threshold: float, target_recall: float = 0.99
@@ -613,13 +617,28 @@ def _lsh_params(
     p_plane = 1.0 - theta / math.pi
     p_table = p_plane**planes
     if p_table >= 1.0:
-        tables = 1
-    else:
-        tables = math.ceil(
-            math.log(max(1e-9, 1.0 - target_recall))
-            / math.log(1.0 - p_table)
+        return planes, 1
+    tables = math.ceil(
+        math.log(max(1e-9, 1.0 - target_recall)) / math.log(1.0 - p_table)
+    )
+    if tables > _LSH_MAX_TABLES:
+        # Sign-LSH collision probability decays exponentially in planes
+        # for wide angles: at low thresholds no sane table count reaches
+        # the target (threshold 0.45 at 1M+ vectors would need ~7000
+        # tables).  Refusing beats silently shipping ~2% recall under a
+        # docstring that promises 0.99 (r7 review finding).
+        achievable = 1.0 - (1.0 - p_table) ** _LSH_MAX_TABLES
+        raise ValueError(
+            f"_lsh_params: cosine threshold {threshold} at n={n} needs "
+            f"{tables} LSH tables to reach recall {target_recall}; the "
+            f"cap is {_LSH_MAX_TABLES} (achievable recall there: "
+            f"{achievable:.3f}). Sign-bucket LSH only prunes well for "
+            "near-1 thresholds. Either pass an explicit "
+            f"target_recall <= {achievable:.3f} to accept that recall, "
+            'pin num_tables/planes_per_table yourself, or use '
+            'method="exact" (block-grid, O((n/B)^2) tasks).'
         )
-    return planes, max(2, min(tables, 32))
+    return planes, max(2, tables)
 
 
 def _lsh_candidate_pairs(
@@ -702,6 +721,7 @@ def _embedding_dup_pairs_lsh(
     round_to: int,
     num_tables: int | None = None,
     planes_per_table: int | None = None,
+    target_recall: float = 0.99,
 ) -> DataFrame:
     """LSH-pruned embedding dedup with BUCKET-LOCAL exact verification.
 
@@ -738,7 +758,9 @@ def _embedding_dup_pairs_lsh(
     dim_row = e.selectExpr("max(size(v)) AS d", "count(*) AS n").first()
     dim = int(dim_row["d"] or 0)
     if num_tables is None or planes_per_table is None:
-        auto_planes, auto_tables = _lsh_params(int(dim_row["n"]), threshold)
+        auto_planes, auto_tables = _lsh_params(
+            int(dim_row["n"]), threshold, target_recall
+        )
         planes_per_table = planes_per_table or auto_planes
         num_tables = num_tables or auto_tables
 
@@ -831,6 +853,7 @@ def embedding_dup_pairs(
     block_size: int = 1024,
     method: str | None = None,
     max_exact_vectors: int = EMBED_EXACT_MAX_VECTORS,
+    target_recall: float = 0.99,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold — blocked matrix
     products.
@@ -853,13 +876,22 @@ def embedding_dup_pairs(
     quadratic grid; the switch is recorded via both warnings.warn and a
     logging WARNING.  Force a path with ``method="exact"`` /
     ``method="lsh"``.
+
+    LOW THRESHOLDS DON'T PRUNE: sign-bucket LSH collision probability
+    decays exponentially with the angle, so past the envelope a low
+    ``threshold`` (e.g. 0.45) makes ``target_recall`` unreachable at
+    any sane table count — the route RAISES with the achievable recall
+    rather than silently under-delivering; lower ``target_recall``
+    explicitly or insist on ``method="exact"`` to proceed.
     """
     import pandas as pd
 
     if method not in (None, "exact", "lsh"):
         raise ValueError(f"unknown method {method!r}")
     if method == "lsh":
-        return _embedding_dup_pairs_lsh(embeddings, threshold, round_to)
+        return _embedding_dup_pairs_lsh(
+            embeddings, threshold, round_to, target_recall=target_recall
+        )
     nb_row = embeddings.selectExpr(
         f"int(ceil(count(*) / {block_size})) AS nb",
         "count(*) AS n",
@@ -880,7 +912,9 @@ def embedding_dup_pairs(
         # where warnings.warn output is easy to miss (ADVICE r6)
         warnings.warn(msg, stacklevel=2)
         logging.getLogger(__name__).warning(msg)
-        return _embedding_dup_pairs_lsh(embeddings, threshold, round_to)
+        return _embedding_dup_pairs_lsh(
+            embeddings, threshold, round_to, target_recall=target_recall
+        )
     nb = max(int(nb_row["nb"]), 1)
     e = embeddings.select(
         "vec_id",

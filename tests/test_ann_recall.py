@@ -144,3 +144,34 @@ def test_embedding_dedup_lsh_recall_measured(spark):
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.95, (recall, len(exact), len(lsh))
     emb.unpersist()
+
+
+def test_lsh_params_refuse_unreachable_recall(spark):
+    """Sign-LSH cannot prune wide angles: at threshold 0.45 past the
+    envelope the table count needed for 0.99 recall is ~10^3-10^4, so
+    the route must RAISE with the achievable recall instead of silently
+    delivering ~2% (r7 review finding — the registry's own
+    dedup_embedding query uses threshold 0.45 and would hit this shape
+    on a >1M-vector corpus)."""
+    import pytest
+
+    from hbase_tohdfs_spark.operators import dedup
+    from hbase_tohdfs_spark.operators.dedup import _lsh_params
+
+    with pytest.raises(ValueError, match="achievable recall"):
+        _lsh_params(2_000_000, threshold=0.45)
+    # near-1 thresholds are unaffected
+    assert _lsh_params(2_000_000, threshold=0.99) == (17, 8)
+    # an explicit (low) target is honored instead of raising
+    planes, tables = _lsh_params(2_000_000, threshold=0.45, target_recall=0.01)
+    assert tables <= 32
+
+    # the routed operator surfaces the same refusal end-to-end
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id: long, embedding: array<double>",
+    )
+    with pytest.raises(ValueError, match="achievable recall"):
+        dedup.embedding_dup_pairs(
+            emb, threshold=0.45, max_exact_vectors=10
+        ).collect()

@@ -53,8 +53,11 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    # -uall lists files INSIDE untracked directories too — without it a
+    # whole new package dir shows as one '?? dir/' line that doesn't end
+    # in .py and the guard waves it through (r7 review finding)
     dirty = subprocess.run(
-        ["git", "status", "--porcelain"],
+        ["git", "status", "--porcelain", "-uall"],
         cwd=REPO,
         capture_output=True,
         text=True,

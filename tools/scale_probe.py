@@ -335,6 +335,12 @@ def probe_embedding(spark, n_vectors: int) -> dict:
         warnings.simplefilter("always")
         t0 = _t.perf_counter()
         pairs = dedup.embedding_dup_pairs(emb, threshold=threshold)  # auto-routes
+        # persist before the two actions: without it the semi-join count
+        # AND the total count each execute the full bucketing+GEMM DAG,
+        # doubling the reported operator wall clock (r7 review finding)
+        pairs = pairs.persist()
+        n_pairs = pairs.count()
+        op_sec = _t.perf_counter() - t0
         hits = (
             pairs.join(
                 planted,
@@ -342,8 +348,7 @@ def probe_embedding(spark, n_vectors: int) -> dict:
                 "left_semi",
             ).count()
         )
-        n_pairs = pairs.count()
-        op_sec = _t.perf_counter() - t0
+        pairs.unpersist()
     routed = any("LSH" in str(w.message) for w in caught)
     planted.unpersist()
     return {
