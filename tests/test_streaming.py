@@ -521,3 +521,30 @@ def test_schema_memo_invalidates_on_regenerated_testdata(spark, tmp_path):
     os.utime(p, (future, future))
     second = ps.stream_events(spark, d).schema.fieldNames()
     assert "props" in second, "stale memoized schema served after regen"
+
+
+def test_append_mode_aggregation_requires_watermark_flush(spark, sf_dir):
+    """The r7 backfill-floor change disables the no-data flush batch by
+    default. This pins the documented CONTRACT: an append-mode windowed
+    aggregation emits nothing without the flush batch (the watermark
+    never passes the windows' ends), and emits the closed windows when
+    the call site passes needs_watermark_flush=True. No current twin
+    uses that shape — this test exists so whoever adds one hits a green
+    example instead of a silent empty result."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    def agg():
+        ev = ps.stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+        return ev.groupBy(F.window("ts", "1 hour")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    without = ps._run_to_memory(agg(), "append")
+    assert without.count() == 0  # the footgun the parameter guards
+
+    with_flush = ps._run_to_memory(
+        agg(), "append", needs_watermark_flush=True
+    )
+    assert with_flush.count() > 0
