@@ -120,8 +120,22 @@ def _run_to_memory(
     prefer MORE, because partitions bound Python-worker parallelism for
     the per-group state loop (measured sf0.1 LWW: 1.79s at 4 parts vs
     1.35s at 8).  The env knob still wins when set.
+
+    Checkpoint placement: a bounded ``availableNow`` backfill into a
+    memory sink is throwaway by construction — its checkpoint (offset
+    log, commit log, state snapshots, all synced per micro-batch) has
+    no recovery value, so it goes to a RAM-backed dir when one exists
+    (``/dev/shm``; override with ``SPARK_GRAFT_STREAM_CKPT_DIR``) and
+    is deleted on return.  Measured: 1.17s -> 0.87s on the sf0.1 HLL
+    twin vs the disk-backed default temp dir.  A PRODUCTION stream is
+    the opposite case: its checkpoint IS the recovery contract and
+    must point at durable shared storage (HDFS/object store) — that
+    swap is part of the same trigger/sink swap documented in the
+    module docstring.
     """
     import os
+    import shutil
+    import tempfile
 
     from hbase_tohdfs_spark.operators import cacheutil
 
@@ -129,6 +143,10 @@ def _run_to_memory(
     parts = int(
         os.environ.get("SPARK_GRAFT_STREAM_PARTS", str(parts or 4))
     )
+    ckpt_root = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    ckpt = os.path.join(ckpt_root, f"stream-ckpt-{uuid.uuid4().hex[:12]}")
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     saved_nodata = spark.conf.get(nodata_key, "true")
     with cacheutil.scoped_shuffle_partitions(spark, parts):
@@ -140,6 +158,7 @@ def _run_to_memory(
             q = (
                 agg.writeStream.format("memory")
                 .queryName(name)
+                .option("checkpointLocation", ckpt)
                 .outputMode(mode)
                 .trigger(availableNow=True)
                 .start()
@@ -147,6 +166,7 @@ def _run_to_memory(
             q.awaitTermination()
         finally:
             spark.conf.set(nodata_key, saved_nodata)
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
