@@ -142,6 +142,16 @@ def main() -> None:
         # r4).  complete=false flags the total as incomparable.
         "complete": not errors,
         "n_queries_timed": len(smoothed),
+        # Standing attributions for known-noisy entries (r6 verdict
+        # task 6): keep the explanation next to the number it explains.
+        "notes": {
+            "domain_rebalance": (
+                "r6->r7 minimum moved 0.46->~0.7s on an UNCHANGED query "
+                "fingerprint (identical code closure, plan audited: two "
+                "pruned passes, broadcast rates, no new exchange) — "
+                "VM/environment noise, not a plan change"
+            )
+        },
     }
     if errors:
         result["errors"] = errors

@@ -47,6 +47,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
+    # Shuffle/scratch files on the RAM-backed dir when one exists: the
+    # harness's shuffles are far smaller than RAM, and /tmp here is
+    # spinning-metal-class (measured tpch_q9 2.01s -> 1.62s at sf0.1).
+    # SPARK_GRAFT_LOCAL_DIR overrides — deliberately-large runs
+    # (tools/scale_probe.py at millions of rows) point it back at disk
+    # so a spill consumes disk, not memory.  On a real cluster this
+    # conf is the usual NVMe scratch array; the env knob maps to it.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

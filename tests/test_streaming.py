@@ -548,3 +548,38 @@ def test_append_mode_aggregation_requires_watermark_flush(spark, sf_dir):
         agg(), "append", needs_watermark_flush=True
     )
     assert with_flush.count() > 0
+
+
+def test_backfill_checkpoint_dir_is_removed(spark, sf_dir, tmp_path, monkeypatch):
+    """_run_to_memory owns its throwaway checkpoint dir (RAM-backed by
+    default since r7): it must delete it on return — success AND
+    failure — or every backfill leaks offset/state files into /dev/shm
+    for the life of the host."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    root = str(tmp_path / "ckpts")
+    os.makedirs(root)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CKPT_DIR", root)
+
+    ev = ps.stream_events(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = ps._run_to_memory(agg, "complete")
+    assert out.count() > 0
+    assert os.listdir(root) == []  # success path cleaned up
+
+    # failure path: an agg whose execution throws mid-stream must still
+    # remove the dir (ANSI cast of a non-numeric string raises at
+    # RUNTIME, inside the micro-batch — not at analysis, so the
+    # checkpoint dir exists by the time the failure happens)
+    bad = ev.groupBy("event_type").agg(
+        F.max(F.col("event_type").cast("int")).alias("boom")
+    )
+    try:
+        ps._run_to_memory(bad, "complete")
+    except Exception:  # noqa: BLE001 — the raise itself is incidental
+        pass
+    assert os.listdir(root) == []

@@ -9,7 +9,9 @@ Prints one JSON line per probe.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -372,6 +374,11 @@ def probe_embedding(spark, n_vectors: int) -> dict:
 
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    # Probes deliberately run at millions of rows: keep shuffle spill on
+    # DISK (the session default is the RAM-backed dir, sized for
+    # harness-scale shuffles — a multi-GB probe spill there would eat
+    # executor memory instead of scratch space).
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", tempfile.gettempdir())
     from hbase_tohdfs_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
