@@ -44,7 +44,25 @@ SESSION_RESTART_EVERY = 12
 N_RUNS_PER_QUERY = 3
 
 
+def _ram_scratch_if_roomy() -> None:
+    """Opt the bench sessions into RAM-backed Spark scratch when the
+    host has a comfortably-sized /dev/shm (>= 16 GiB free — sf0.1
+    shuffles are MBs; the margin is for careless reuse).  The session
+    factory deliberately defaults to disk (see session.py); bench is
+    the one caller whose scratch is guaranteed throwaway and whose
+    timings disk /tmp visibly pollutes (tpch_q9 2.01s -> 1.62s)."""
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        return
+    try:
+        stat = os.statvfs("/dev/shm")
+        if stat.f_bavail * stat.f_frsize >= 16 * 1024**3:
+            os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark-local"
+    except OSError:
+        pass
+
+
 def _fresh_session():
+    _ram_scratch_if_roomy()
     spark = get_spark(app_name="bench")
     # Warm up JVM codegen so the first query measures the plan
     # (min-of-2 absorbs Python-worker spin-up and page-cache effects).

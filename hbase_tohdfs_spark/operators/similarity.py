@@ -405,9 +405,9 @@ def kmeans_train(
     e = e.persist()
 
     def assign(cents: list[list[float]]) -> DataFrame:
-        # ONE nested-array literal, not k*d Literal nodes — the per-
-        # iteration expression tree (and its analysis/codegen cost)
-        # shrinks by ~500 nodes at k=8, d=64.
+        # nested-list literal (expands to the same array-literal tree
+        # as the explicit F.array(F.array(...)) spelling; kept for the
+        # construction-site brevity, not plan size)
         arr = F.lit([[float(x) for x in c] for c in cents])
         d = e.withColumn("cents", arr)
         sq = (

@@ -158,18 +158,27 @@ def cms_estimate(
     The true count rides along so the estimate's error is directly
     inspectable (and bounded in tests).
 
-    Probe-side plan shape: the probed cells are known at plan time
-    (md5 is md5 — the driver computes the identical 60-bit
-    ``token_hash_expr`` value with hashlib), so the point query needs
-    NO joins at all.  The estimate is ONE global conditional
-    aggregation over the <= rows*width sketch cells, the true counts
-    are ONE conditional aggregation folded into the events scan, and
-    the two 1-row frames meet in a trivial 1x1 crossJoin + ``stack``
-    unpivot.  That replaces three joins (probe x sketch, semi-join
-    truth, est x truth) and their exchanges with two scans — measured
-    1.07s -> ~0.6s per fresh execution on the batch twin at sf0.1,
-    and the same shape at 100 TB: the events pass is map-side partial
-    aggregation into a single row, the sketch pass is model-sized.
+    Probe-side plan shape, SMALL probe lists (the point-query case):
+    the probed cells are known at plan time (md5 is md5 — the driver
+    computes the identical 60-bit ``token_hash_expr`` value with
+    hashlib), so the point query needs NO joins at all.  The estimate
+    is ONE global conditional aggregation over the <= rows*width
+    sketch cells, the true counts are ONE conditional aggregation
+    folded into the events scan, and the two 1-row frames meet in a
+    trivial 1x1 crossJoin + struct-explode unpivot.  That replaces
+    three joins (probe x sketch, semi-join truth, est x truth) and
+    their exchanges with two scans — measured 1.07s -> ~0.6s per
+    fresh execution on the batch twin at sf0.1, and the same shape at
+    100 TB: the events pass is map-side partial aggregation into a
+    single row, the sketch pass is model-sized.
+
+    Past ``_CMS_PROBE_FANOUT_MAX`` distinct probes the conditional-agg
+    width (probes x rows exprs, each evaluated per event row) loses to
+    joins, so the query falls back to the broadcast-join formulation —
+    O(1) work per event row regardless of probe count.
+
+    Probe values are deduplicated (first occurrence wins, matching the
+    oracle's GROUP BY), and an empty probe list returns an empty frame.
 
     ``sketch`` overrides the sketch frame (columns r, bucket, c) — the
     streaming twin passes its stateful-agg result here so probe logic
@@ -177,9 +186,16 @@ def cms_estimate(
     """
     import hashlib
 
+    spark = df.sparkSession
     if sketch is None:
         sketch = cms_counts(df, value_col, rows, width)
-    probes = [str(v) for v in probe_values]
+    probes = list(dict.fromkeys(str(v) for v in probe_values))
+    if not probes:
+        return spark.createDataFrame(
+            [], f"{value_col} string, true_count long, cms_count long"
+        )
+    if len(probes) > _CMS_PROBE_FANOUT_MAX:
+        return _cms_estimate_joined(df, value_col, probes, rows, width, sketch)
 
     def probe_bucket(row_i: int, v: str) -> int:
         h = int(hashlib.md5(f"{row_i}:{v}".encode()).hexdigest()[:15], 16)
@@ -199,16 +215,16 @@ def cms_estimate(
         for i, v in enumerate(probes)
         for row_i in range(rows)
     ]
-    est_row = sketch.agg(*cell_mins).select(
-        *[
-            F.least(
-                *[
-                    F.coalesce(F.col(f"m_{i}_{row_i}"), F.lit(0).cast("long"))
-                    for row_i in range(rows)
-                ]
-            ).alias(f"cms_{i}")
-            for i in range(len(probes))
+
+    def min_over_rows(i: int):
+        cells = [
+            F.coalesce(F.col(f"m_{i}_{row_i}"), F.lit(0).cast("long"))
+            for row_i in range(rows)
         ]
+        return cells[0] if rows == 1 else F.least(*cells)
+
+    est_row = sketch.agg(*cell_mins).select(
+        *[min_over_rows(i).alias(f"cms_{i}") for i in range(len(probes))]
     )
     truth_row = df.agg(
         *[
@@ -218,19 +234,76 @@ def cms_estimate(
             for i, v in enumerate(probes)
         ]
     )
-    quoted = [v.replace("'", "''") for v in probes]
-    stack_expr = "stack({n}, {args}) as (v, true_count, cms_count)".format(
-        n=len(probes),
-        args=", ".join(
-            f"'{q}', t_{i}, cms_{i}" for i, q in enumerate(quoted)
-        ),
+    # Unpivot via literal structs + explode: F.lit(v) carries the probe
+    # string as a VALUE, immune to the quoting/escaping pitfalls of
+    # rendering it into a parsed SQL snippet (a probe containing a
+    # backslash broke the earlier stack() rendering).
+    triples = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("v"),
+                F.col(f"t_{i}").alias("true_count"),
+                F.col(f"cms_{i}").alias("cms_count"),
+            )
+            for i, v in enumerate(probes)
+        ]
     )
     return (
         est_row.crossJoin(truth_row)
-        .select(F.expr(stack_expr))
+        .select(F.explode(triples).alias("p"))
+        .select(
+            F.col("p.v").alias(value_col),
+            F.col("p.true_count").alias("true_count"),
+            F.col("p.cms_count").alias("cms_count"),
+        )
+        .orderBy(value_col)
+    )
+
+
+#: above this many distinct probes, cms_estimate switches from the
+#: plan-time conditional-agg shape (probes*rows exprs per event row) to
+#: the broadcast-join shape (constant per-row work).
+_CMS_PROBE_FANOUT_MAX = 32
+
+
+def _cms_estimate_joined(
+    df: DataFrame,
+    value_col: str,
+    probes: list,
+    rows: int,
+    width: int,
+    sketch: DataFrame,
+) -> DataFrame:
+    """Broadcast-join formulation of the CMS point query, for LARGE
+    probe lists: probe buckets computed engine-side, joined against the
+    broadcast model-sized sketch, true counts via a broadcast semi-join
+    — every step O(1) per event row in the number of probes."""
+    spark = df.sparkSession
+    probes_df = spark.createDataFrame([(v,) for v in probes], "v string")
+    r = F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("r")
+    probe_buckets = probes_df.select("v", r).select(
+        "v",
+        "r",
+        (token_hash_expr("concat(r, ':', v)") % width).alias("bucket"),
+    )
+    est = (
+        probe_buckets.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy("v")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_count"))
+    )
+    truth = (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .join(F.broadcast(probes_df), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(F.broadcast(truth), "v", "left")
         .select(
             F.col("v").alias(value_col),
-            "true_count",
+            F.coalesce("true_count", F.lit(0).cast("long")).alias(
+                "true_count"
+            ),
             "cms_count",
         )
         .orderBy(value_col)

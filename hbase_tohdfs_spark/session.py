@@ -47,16 +47,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
-    # Shuffle/scratch files on the RAM-backed dir when one exists: the
-    # harness's shuffles are far smaller than RAM, and /tmp here is
-    # spinning-metal-class (measured tpch_q9 2.01s -> 1.62s at sf0.1).
-    # SPARK_GRAFT_LOCAL_DIR overrides — deliberately-large runs
-    # (tools/scale_probe.py at millions of rows) point it back at disk
-    # so a spill consumes disk, not memory.  On a real cluster this
-    # conf is the usual NVMe scratch array; the env knob maps to it.
-    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
-        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
-    )
+    # Scratch placement is OPT-IN via SPARK_GRAFT_LOCAL_DIR (the bench
+    # harness points it at /dev/shm — measured tpch_q9 2.01s -> 1.62s
+    # at sf0.1).  The factory default stays Spark's disk-backed /tmp:
+    # this constructor also serves the real CLI export path, where a
+    # RAM default would turn an unclean shutdown into a RAM leak and
+    # die ENOSPC on hosts with a small tmpfs.  On a real cluster the
+    # same knob maps to the NVMe scratch array.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():

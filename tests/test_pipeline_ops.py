@@ -644,6 +644,53 @@ def test_cms_overestimates_within_bound(spark):
         assert r["cms_count"] - r["true_count"] <= 2 * n / 8
 
 
+def test_cms_estimate_probe_edge_cases(spark):
+    """r7 review pins for the join-free point query: empty probe list
+    -> empty frame (not a crash); duplicate probes -> one row each
+    (matching the oracle's GROUP BY); a backslash/quote probe is a
+    VALUE, not SQL text; rows=1 works (no least() arity trap)."""
+    from hbase_tohdfs_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("a\\n'c",)], "val string"
+    )
+
+    empty = sketch.cms_estimate(df, "val", [])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "val", "true_count", "cms_count",
+    ]
+
+    dup = sketch.cms_estimate(df, "val", ["a", "a", "b"]).collect()
+    assert [r["val"] for r in dup] == ["a", "b"]
+    by_v = {r["val"]: r for r in dup}
+    assert by_v["a"]["true_count"] == 2 and by_v["b"]["true_count"] == 1
+
+    weird = sketch.cms_estimate(df, "val", ["a\\n'c", "x\\"]).collect()
+    got = {r["val"]: r["true_count"] for r in weird}
+    assert got == {"a\\n'c": 1, "x\\": 0}
+
+    one_row = sketch.cms_estimate(df, "val", ["a"], rows=1).collect()
+    assert one_row[0]["cms_count"] >= one_row[0]["true_count"] == 2
+
+
+def test_cms_estimate_join_fallback_matches_fanout_path(spark):
+    """Above _CMS_PROBE_FANOUT_MAX the estimate switches to the
+    broadcast-join plan; both paths must return identical rows."""
+    from hbase_tohdfs_spark.operators import sketch
+
+    df = spark.createDataFrame([(i % 40,) for i in range(800)], "val long")
+    probes = list(range(0, 45))  # > _CMS_PROBE_FANOUT_MAX, incl. misses
+    assert len(probes) > sketch._CMS_PROBE_FANOUT_MAX
+    joined = sketch.cms_estimate(df, "val", probes).collect()
+    # force the fan-out path on the same probes by raising the cutoff
+    import unittest.mock as mock
+
+    with mock.patch.object(sketch, "_CMS_PROBE_FANOUT_MAX", 1000):
+        direct = sketch.cms_estimate(df, "val", probes).collect()
+    assert [tuple(r) for r in joined] == [tuple(r) for r in direct]
+
+
 def test_semantic_dedup_prunes_within_cluster(spark):
     """SemDeDup: exact duplicates are pruned (the higher id drops, its
     original survives, they share a cluster by construction — identical

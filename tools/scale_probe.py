@@ -374,11 +374,11 @@ def probe_embedding(spark, n_vectors: int) -> dict:
 
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    # Probes deliberately run at millions of rows: keep shuffle spill on
-    # DISK (the session default is the RAM-backed dir, sized for
-    # harness-scale shuffles — a multi-GB probe spill there would eat
-    # executor memory instead of scratch space).
-    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", tempfile.gettempdir())
+    # Probes deliberately run at millions of rows: force shuffle spill
+    # to DISK even if the caller's environment opted the session factory
+    # into RAM scratch (bench does) — a multi-GB probe spill on tmpfs
+    # would eat executor memory instead of scratch space.
+    os.environ["SPARK_GRAFT_LOCAL_DIR"] = tempfile.gettempdir()
     from hbase_tohdfs_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
