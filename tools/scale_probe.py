@@ -372,6 +372,80 @@ def probe_embedding(spark, n_vectors: int) -> dict:
     }
 
 
+def probe_streaming(spark, n_rows: int) -> dict:
+    """Streaming-twin throughput at replicated input sizes: the sf0.1
+    events table (100k rows) is tiled to ``n_rows`` with fresh event
+    ids and a growing user-id space, written as one parquet file, and
+    fed through the SHIPPED twin code paths (same sf_dir plumbing the
+    registry uses).
+
+    What this measures: the JVM-state twins' wall clock should grow
+    ~linearly with input while their state stays bounded (windows x
+    types for the rollup; rows x width counters for the CMS — both
+    independent of n).  The Python-state KMV twin is included
+    deliberately: its per-row hashlib loop is the known throughput
+    ceiling of the applyInPandasWithState shape, and the measured gap
+    vs the JVM twins is the documented reason the JVM-expressible
+    sketches (CMS/HLL) do NOT use Python state."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.session import ensure_nanos_as_long
+    from hbase_tohdfs_spark.streaming import pivot_stream as ps
+
+    ensure_nanos_as_long(spark)
+    base_dir = "/root/testdata/sf0.1"
+    base = spark.read.option("pathGlobFilter", "events.parquet").parquet(
+        base_dir
+    )
+    n_base = base.count()
+    k = max(1, n_rows // n_base)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_probe_{n_rows}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    tiled = (
+        base.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+        )
+        .withColumn("event_id", F.col("event_id") * k + F.col("rep"))
+        .withColumn(
+            "user_id", F.col("user_id") + F.col("rep") * F.lit(1_000_000)
+        )
+        .drop("rep")
+    )
+    # one file named exactly events.parquet, like the testdata layout
+    tmp_write = out_dir + ".write"
+    tiled.coalesce(1).write.mode("overwrite").parquet(tmp_write)
+    os.makedirs(out_dir, exist_ok=True)
+    part = [f for f in os.listdir(tmp_write) if f.endswith(".parquet")][0]
+    os.rename(
+        os.path.join(tmp_write, part), os.path.join(out_dir, "events.parquet")
+    )
+    shutil.rmtree(tmp_write, ignore_errors=True)
+
+    results = {"probe": "streaming_twins", "n_rows": n_base * k}
+    try:
+        for name, fn in (
+            ("hourly_rollup_jvm", lambda: ps.hourly_rollup_stream(spark, out_dir)),
+            (
+                "cms_counts_jvm",
+                lambda: ps.cms_counts_stream(spark, out_dir, [1, 2, 3]),
+            ),
+            ("kmv_distinct_python", lambda: ps.kmv_distinct_stream(spark, out_dir)),
+        ):
+            t0 = time.perf_counter()
+            out = fn().collect()
+            sec = time.perf_counter() - t0
+            results[f"{name}_sec"] = round(sec, 2)
+            results[f"{name}_rows_per_sec"] = int(n_base * k / sec)
+            results[f"{name}_out_rows"] = len(out)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return results
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     # Probes deliberately run at millions of rows: force shuffle spill
@@ -397,6 +471,9 @@ def main() -> None:
     if which in ("embedding", "all"):
         print(json.dumps(probe_embedding(spark, 1_200_000)))
         print(json.dumps(probe_embedding(spark, 2_400_000)))
+    if which in ("streaming", "all"):
+        print(json.dumps(probe_streaming(spark, 1_000_000)))
+        print(json.dumps(probe_streaming(spark, 4_000_000)))
 
 
 if __name__ == "__main__":
