@@ -42,6 +42,31 @@ def _hash01(col_sql: str):
     return (token_hash_expr(col_sql) + 1) / F.lit(_HASH_DOMAIN)
 
 
+#: hex digits of one md5 digest per derived hash (32 bits each).  The
+#: multi-hash sketches (CMS rows, Bloom probes) derive their i-th hash
+#: as disjoint bit-slices of ONE digest instead of hashing ``i:value``
+#: once per hash — the classic derive-k-from-one-digest construction
+#: (Kirsch & Mitzenmacher '06 prove two derived hashes suffice for
+#: Bloom-type bounds; disjoint slices of a strong digest are the
+#: stronger variant).  Motivation is measured, not stylistic: the 4M-row
+#: streaming probe showed the per-cell md5 — not the bounded state — is
+#: the CMS twin's scaling term (SCALE.md), and one digest cuts that
+#: term ``rows``-fold.  Past ``_MAX_SLICED`` hashes the 32 hex digits
+#: are exhausted and the per-hash ``i:value`` md5 is used instead.
+_SLICE_HEX = 8
+_MAX_SLICED = 32 // _SLICE_HEX
+
+
+def _hex_slice_expr(digest_sql: str, idx_sql: str):
+    """32-bit unsigned int from hex slice ``idx`` of an md5 digest
+    column; hashlib twin: ``int(md5(v).hexdigest()[8*i:8*i+8], 16)``,
+    DuckDB twin: ``('0x' || substr(md5(v), 1 + 8*i, 8))::BIGINT``."""
+    return F.expr(
+        f"cast(conv(substr({digest_sql}, ({idx_sql}) * {_SLICE_HEX} + 1, "
+        f"{_SLICE_HEX}), 16, 10) as bigint)"
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,
@@ -117,6 +142,40 @@ CMS_ROWS = 4
 CMS_WIDTH = 256
 
 
+def cms_cells(
+    df: DataFrame,
+    value_col: str,
+    rows: int = CMS_ROWS,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """``(r, bucket)`` — one cell per input row per hash row; the shared
+    fan-out of the batch sketch build and the streaming update-mode
+    state (``streaming/pivot_stream.cms_counts_stream``).
+
+    ONE md5 per VALUE, not per cell: for ``rows`` <= 4 the digest is
+    computed BEFORE the row fan-out and hash row ``r`` reads its own
+    disjoint 32-bit slice (see ``_SLICE_HEX``) — the explode then
+    copies a 32-char string instead of re-hashing, so the per-event
+    cost at stream/scan time is one digest however many rows the
+    sketch keeps.  ``rows`` > 4 exhausts the digest and falls back to
+    one ``r:value`` md5 per cell."""
+    r = F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("r")
+    v = F.col(value_col).cast("string")
+    if rows <= _MAX_SLICED:
+        return (
+            df.select(F.md5(v).alias("d"))
+            .select("d", r)
+            .select("r", (_hex_slice_expr("d", "r") % width).alias("bucket"))
+        )
+    return (
+        df.select(v.alias("v"), r)
+        .select(
+            "r",
+            (token_hash_expr("concat(r, ':', v)") % width).alias("bucket"),
+        )
+    )
+
+
 def cms_counts(
     df: DataFrame,
     value_col: str,
@@ -124,20 +183,18 @@ def cms_counts(
     width: int = CMS_WIDTH,
 ) -> DataFrame:
     """Build a count-min sketch (Cormode & Muthukrishnan '05) over a
-    column: ``rows`` independent hash rows of ``width`` counters.
+    column: ``rows`` hash rows of ``width`` counters.
 
     Like the KMV sketch, the point of the md5-derived hashes is that the
     sketch is DETERMINISTIC and replayable in ANSI SQL — the same
     mergeable O(rows*width) state HLL-era systems keep, but auditable
-    across engines.  One generator fan-out (explode of the row index, no
-    shuffle) + one keyed aggregation whose reduce side is at most
-    rows*width counters regardless of corpus size.
+    across engines.  One digest + generator fan-out per input row (no
+    shuffle; see :func:`cms_cells`) + one keyed aggregation whose
+    reduce side is at most rows*width counters regardless of corpus
+    size.
     """
-    r = F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("r")
-    bucket = token_hash_expr("concat(r, ':', v)") % width
     return (
-        df.select(F.col(value_col).cast("string").alias("v"), r)
-        .select("r", bucket.alias("bucket"))
+        cms_cells(df, value_col, rows, width)
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -160,8 +217,8 @@ def cms_estimate(
 
     Probe-side plan shape, SMALL probe lists (the point-query case):
     the probed cells are known at plan time (md5 is md5 — the driver
-    computes the identical 60-bit ``token_hash_expr`` value with
-    hashlib), so the point query needs NO joins at all.  The estimate
+    computes the identical digest-slice bucket with hashlib, see
+    :func:`cms_cells`), so the point query needs NO joins at all.  The estimate
     is ONE global conditional aggregation over the <= rows*width
     sketch cells, the true counts are ONE conditional aggregation
     folded into the events scan, and the two 1-row frames meet in a
@@ -198,7 +255,12 @@ def cms_estimate(
         return _cms_estimate_joined(df, value_col, probes, rows, width, sketch)
 
     def probe_bucket(row_i: int, v: str) -> int:
-        h = int(hashlib.md5(f"{row_i}:{v}".encode()).hexdigest()[:15], 16)
+        # hashlib twin of cms_cells' hash, branch for branch
+        if rows <= _MAX_SLICED:
+            digest = hashlib.md5(v.encode()).hexdigest()
+            h = int(digest[row_i * _SLICE_HEX : (row_i + 1) * _SLICE_HEX], 16)
+        else:
+            h = int(hashlib.md5(f"{row_i}:{v}".encode()).hexdigest()[:15], 16)
         return h % width
 
     # min over hash rows, absent cell = count 0 (coalesce per cell
@@ -281,11 +343,20 @@ def _cms_estimate_joined(
     spark = df.sparkSession
     probes_df = spark.createDataFrame([(v,) for v in probes], "v string")
     r = F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("r")
-    probe_buckets = probes_df.select("v", r).select(
-        "v",
-        "r",
-        (token_hash_expr("concat(r, ':', v)") % width).alias("bucket"),
-    )
+    if rows <= _MAX_SLICED:
+        probe_buckets = (
+            probes_df.select("v", F.md5("v").alias("d"))
+            .select("v", "d", r)
+            .select(
+                "v", "r", (_hex_slice_expr("d", "r") % width).alias("bucket")
+            )
+        )
+    else:
+        probe_buckets = probes_df.select("v", r).select(
+            "v",
+            "r",
+            (token_hash_expr("concat(r, ':', v)") % width).alias("bucket"),
+        )
     est = (
         probe_buckets.join(F.broadcast(sketch), ["r", "bucket"], "left")
         .groupBy("v")
@@ -317,19 +388,30 @@ def cms_oracle_sql(
     rows: int = CMS_ROWS,
     width: int = CMS_WIDTH,
 ) -> str:
-    """DuckDB replay of :func:`cms_estimate` on ``table``."""
+    """DuckDB replay of :func:`cms_estimate` on ``table`` — including
+    :func:`cms_cells`' hash derivation, branch for branch (one digest
+    sliced per hash row when rows <= 4, per-row ``r:value`` md5
+    otherwise)."""
     probes = ", ".join(f"('{v}')" for v in probe_values)
+
+    def bucket_sql(val: str) -> str:
+        if rows <= _MAX_SLICED:
+            return (
+                f"('0x' || substr(md5({val}), 1 + {_SLICE_HEX} * r.r, "
+                f"{_SLICE_HEX}))::BIGINT % {width}"
+            )
+        return (
+            f"('0x' || substr(md5(r.r || ':' || {val}), 1, 15))::BIGINT"
+            f" % {width}"
+        )
+
     return f"""
     WITH vals AS (SELECT CAST({value_col} AS VARCHAR) AS v FROM {table}),
-    hashed AS (SELECT v, r.r,
-                      ('0x' || substr(md5(r.r || ':' || v), 1, 15))::BIGINT
-                        % {width} AS bucket
+    hashed AS (SELECT v, r.r, {bucket_sql('v')} AS bucket
                FROM vals CROSS JOIN generate_series(0, {rows - 1}) AS r(r)),
     sketch AS (SELECT r, bucket, count(*) AS c FROM hashed GROUP BY 1, 2),
     probes AS (SELECT * FROM (VALUES {probes}) AS p(v)),
-    pb AS (SELECT p.v, r.r,
-                  ('0x' || substr(md5(r.r || ':' || p.v), 1, 15))::BIGINT
-                    % {width} AS bucket
+    pb AS (SELECT p.v, r.r, {bucket_sql('p.v')} AS bucket
            FROM probes p CROSS JOIN generate_series(0, {rows - 1}) AS r(r)),
     est AS (SELECT pb.v, min(coalesce(s.c, 0)) AS cms_count
             FROM pb LEFT JOIN sketch s USING (r, bucket) GROUP BY 1),
@@ -537,13 +619,21 @@ def bloom_mask(
     negatives at probe time.  Fail loudly instead.
     """
     _check_bloom_bits(m_bits)
-    r = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("j")
-    pos_rows = (
-        df.select(F.col(key_col).cast("string").alias("v"), r)
-        .select((token_hash_expr("concat(j, ':', v)") % m_bits).alias("pos"))
-        .distinct()
-        .collect()
-    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("j")
+    v = F.col(key_col).cast("string")
+    if k_hashes <= _MAX_SLICED:
+        # one digest per key; position j reads its own 32-bit slice
+        # (same derivation as cms_cells — see _SLICE_HEX)
+        pos = (
+            df.select(F.md5(v).alias("d"))
+            .select("d", j)
+            .select((_hex_slice_expr("d", "j") % m_bits).alias("pos"))
+        )
+    else:
+        pos = df.select(v.alias("v"), j).select(
+            (token_hash_expr("concat(j, ':', v)") % m_bits).alias("pos")
+        )
+    pos_rows = pos.distinct().collect()
     words = [0] * (m_bits // 64)
     for row in pos_rows:
         p = row["pos"]
@@ -561,6 +651,11 @@ def bloom_contains(
     """Membership-test Column: all k hash positions set in the mask.
     Pure codegen — an O(1) array index + shift per probe, no join, no
     shuffle; `(x >> n) & 1` is bit-exact under arithmetic shift.
+    For k <= 4 the k positions are slices of ONE md5 digest; the k
+    probe predicates share the ``md5(key)`` subexpression, which
+    whole-stage codegen's subexpression elimination evaluates once —
+    so the map-side pre-filter costs one digest per probed row, not k
+    (the old ``j:key`` inputs were all distinct and defeated CSE).
     ``m_bits`` must match the mask: a positive multiple of 64 equal to
     ``64 * len(words)``, or probes could index past the array."""
     _check_bloom_bits(m_bits)
@@ -573,11 +668,18 @@ def bloom_contains(
     arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
     probes = []
     for j in range(k_hashes):
-        h = (
-            f"cast(conv(substr(md5(concat('{j}', ':',"
-            f" cast({key_sql} as string))), 1, 15), 16, 10) as bigint)"
-            f" % {m_bits}"
-        )
+        if k_hashes <= _MAX_SLICED:
+            h = (
+                f"cast(conv(substr(md5(cast({key_sql} as string)), "
+                f"{j * _SLICE_HEX + 1}, {_SLICE_HEX}), 16, 10) as bigint)"
+                f" % {m_bits}"
+            )
+        else:
+            h = (
+                f"cast(conv(substr(md5(concat('{j}', ':',"
+                f" cast({key_sql} as string))), 1, 15), 16, 10) as bigint)"
+                f" % {m_bits}"
+            )
         probes.append(
             f"((shiftright(element_at({arr}, cast(({h}) div 64 as int) + 1),"
             f" cast(({h}) % 64 as int)) & 1) = 1)"

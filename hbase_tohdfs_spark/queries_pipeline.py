@@ -1120,18 +1120,19 @@ def _bloom_semijoin_oracle(m: int = 4096, k: int = 3) -> str:
     """DuckDB replay: rebuild the bit set from the build keys, probe
     every order's k positions, demand all k hit (no false negatives by
     construction; HAVING count(DISTINCT j) = k mirrors the AND of the
-    k probes)."""
+    k probes).  Positions replay ``sketch.bloom_mask``'s derivation:
+    position j = 32-bit slice j of ONE md5 digest (k <= 4)."""
     return f"""
     WITH bkeys AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
                    FROM customer WHERE c_mktsegment = 'BUILDING'),
     bits AS (SELECT DISTINCT
-                    ('0x' || substr(md5(j.j || ':' || v), 1, 15))::BIGINT
+                    ('0x' || substr(md5(v), 1 + 8 * j.j, 8))::BIGINT
                       % {m} AS pos
              FROM bkeys CROSS JOIN generate_series(0, {k - 1}) AS j(j)),
     probe AS (SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS pk
               FROM orders),
     pp AS (SELECT o_orderkey, pk, j.j,
-                  ('0x' || substr(md5(j.j || ':' || pk), 1, 15))::BIGINT
+                  ('0x' || substr(md5(pk), 1 + 8 * j.j, 8))::BIGINT
                     % {m} AS pos
            FROM probe CROSS JOIN generate_series(0, {k - 1}) AS j(j)),
     hits AS (SELECT o_orderkey, pk FROM pp

@@ -601,19 +601,14 @@ def cms_counts_stream(
     recovers the final sketch, which then flows through the SAME
     ``cms_estimate`` probe code as the batch path.
     """
-    from hbase_tohdfs_spark.operators import sketch, text
+    from hbase_tohdfs_spark.operators import sketch
     from hbase_tohdfs_spark.queries import _events
 
     events = stream_events(spark, sf_dir)
-    r = F.explode(
-        F.sequence(F.lit(0), F.lit(sketch.CMS_ROWS - 1))
-    ).alias("r")
-    bucket = (
-        text.token_hash_expr("concat(r, ':', v)") % sketch.CMS_WIDTH
-    ).alias("bucket")
-    cells = events.select(
-        F.col("user_id").cast("string").alias("v"), r
-    ).select("r", bucket)
+    # shared cell fan-out with the batch build: ONE md5 per event, hash
+    # rows read digest slices (the 4M-row probe showed the per-cell md5
+    # was this twin's scaling term — SCALE.md)
+    cells = sketch.cms_cells(events, "user_id")
     counts = cells.groupBy("r", "bucket").count()
     emitted = _run_to_memory(counts, "update")
     final_sketch = emitted.groupBy("r", "bucket").agg(
