@@ -33,6 +33,41 @@ MINHASH_FUNCS = 16
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_FUNCS // LSH_BANDS
 
+#: Mersenne prime 2^31 - 1: the MinHash rehash field.  Each shingle is
+#: digested ONCE (md5 -> 32-bit slice mod p); hash i is the affine
+#: rehash (a_i*h + b_i) mod p — the standard universal-hashing MinHash
+#: family (Broder '97 uses random linear permutations; every practical
+#: implementation, e.g. the datasketch library, uses exactly this
+#: (a*h+b) mod Mersenne-prime form).  31-bit operands keep a*h < 2^62,
+#: inside BIGINT for both Spark and the DuckDB oracle.  Replacing
+#: num_hashes md5 calls per shingle with one digest + num_hashes
+#: multiply-adds is a ~num_hashes-fold cut of the signature stage's
+#: dominant term (measured in SCALE.md).
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, a_i in [1, p-1], b_i in [0, p-1],
+    derived from md5 of the hash index so engine and oracle inline the
+    same literals."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"mh:{i}".encode()).hexdigest()
+        a = int(d[:8], 16) % (MINHASH_PRIME - 1) + 1
+        b = int(d[8:16], 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+#: DuckDB spelling of the per-shingle base hash (the engine-side twin
+#: lives inline in :func:`signatures_from_shingles`).
+MINHASH_BASE_DUCKDB = (
+    "list_transform(s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT"
+    f" % {MINHASH_PRIME})"
+)
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup on the md5 of the raw text; survivor = lowest doc_id.
@@ -53,10 +88,11 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def minhash_signatures(
     docs: DataFrame, k: int = 3, num_hashes: int = MINHASH_FUNCS
 ) -> DataFrame:
-    """Per-doc MinHash signature: sig[i] = min over shingles of
-    md5(i || ':' || shingle).  Computed entirely map-side (array lambdas
-    over the shingle array — no explode, no shuffle).  Docs with no
-    shingles (< k tokens) are excluded, matching the oracle."""
+    """Per-doc MinHash signature: sig[i] = min over shingles of hash_i,
+    where hash_i is the affine rehash of ONE md5-derived base hash per
+    shingle (see ``MINHASH_PRIME``).  Computed entirely map-side (array
+    lambdas over the shingle array — no explode, no shuffle).  Docs
+    with no shingles (< k tokens) are excluded, matching the oracle."""
     return signatures_from_shingles(shingle_docs(docs, k), num_hashes)
 
 
@@ -66,15 +102,35 @@ def signatures_from_shingles(
     """Signatures from a prepared ``(doc_id, sh)`` frame (see
     :func:`~hbase_tohdfs_spark.operators.text.shingle_docs`).  The
     empty-doc filter runs on the ``sh`` column directly — predicate
-    pushdown must not sink a re-derived tokenize chain below the scan."""
-    d = sh_docs.filter(F.size("sh") > 0)
-    sig_cols = [
-        F.expr(f"array_min(transform(sh, s -> md5(concat('{i}:', s))))").alias(
-            f"mh{i}"
+    pushdown must not sink a re-derived tokenize chain below the scan.
+
+    Formulation: explode shingles -> ONE md5-derived base hash per
+    shingle -> groupBy(doc_id) with num_hashes ``min((a_i*h+b_i)%p)``
+    aggregates.  Everything — digest, rehash lanes, partial min — runs
+    inside whole-stage codegen, unlike ``transform``/``array_min``
+    lambdas, which Spark interprets per element; measured at 500k docs
+    / 25M shingles the codegen agg beats the lambda form 18.0s vs
+    23.0s (and the old 16-md5s-per-shingle lambda form, 25.9s), and
+    ties it at 5k docs (SCALE.md).  The groupBy shuffle moves only one
+    partial-agg row of num_hashes longs per doc per map partition —
+    far smaller than the shingle arrays themselves, so the shape holds
+    at corpus scale.  Signature values are BIGINT in [0, 2^31-1)."""
+    ex = (
+        sh_docs.filter(F.size("sh") > 0)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint)"
+                f" % {MINHASH_PRIME}"
+            ).alias("h"),
         )
-        for i in range(num_hashes)
+    )
+    aggs = [
+        F.min(F.expr(f"({a} * h + {b}) % {MINHASH_PRIME}")).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return d.select("doc_id", *sig_cols)
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -100,7 +156,13 @@ def lsh_candidate_pairs(
     band_cols = []
     for b in range(bands):
         parts = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat(*[F.col(p) for p in parts])).alias(f"band{b}"))
+        # ':' separator: signature values are decimal BIGINTs (variable
+        # width), so bare concat would alias (1,23) with (12,3)
+        band_cols.append(
+            F.md5(F.concat_ws(":", *[F.col(p) for p in parts])).alias(
+                f"band{b}"
+            )
+        )
     banded = signatures.select("doc_id", *band_cols)
     buckets = banded.select(
         "doc_id",
@@ -359,28 +421,48 @@ SIMHASH_BITS = 60
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """60-bit SimHash over tokens (frequency-weighted), map-side only.
+    """60-bit SimHash over tokens (frequency-weighted), Charikar '02.
 
     For each bit b: vote = sum over tokens of ((hash(t)>>b)&1)*2-1; the
-    fingerprint sets bit b when the vote is positive.  All 60 votes are
-    array-lambda aggregates over the token-hash array — one row in, one
-    row out, no shuffle at all.
+    fingerprint sets bit b when the vote is positive.
+
+    Formulation: explode tokens -> one 60-bit token hash -> groupBy
+    (doc_id) with 60 codegen ``sum`` votes -> fingerprint assembly.
+    Round 2 kept the shuffle-free array-lambda form on a 5k-doc warm
+    measurement; re-measured at 500k docs the interpreted ``aggregate``
+    lambdas (60 per doc, evaluated per token) cost 171s vs 48s for the
+    codegen agg — and the agg form now wins at 5k too (1.0s vs 1.8s).
+    The groupBy shuffle moves one partial-agg row of 60 longs per doc
+    per map partition, far below the token arrays themselves, so the
+    shape holds at corpus scale (SCALE.md round-7).
+
+    All-long arithmetic: shiftright(h, 0) exceeds int range, and ANSI
+    mode turns a narrowing cast into a hard error.
     """
-    d = with_tokens(docs).filter(F.size("tokens") > 0)
-    d = d.withColumn(
-        "hs",
-        F.expr(
-            "transform(tokens, t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
-        ),
+    ex = (
+        with_tokens(docs)
+        .filter(F.size("tokens") > 0)
+        .select("doc_id", F.explode("tokens").alias("t"))
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+        )
     )
-    # All-long arithmetic: shiftright(h, 0) exceeds int range, and ANSI
-    # mode turns a narrowing cast into a hard error.
-    bit_terms = " + ".join(
-        f"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, {b}) & 1L) * 2L - 1L) > 0"
-        f" THEN shiftleft(1L, {b}) ELSE 0L END)"
+    votes = [
+        F.sum(F.expr(f"(shiftright(h, {b}) & 1L) * 2L - 1L")).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN shiftleft(1L, {b}) ELSE 0L END)"
         for b in range(SIMHASH_BITS)
     )
-    return d.select("doc_id", F.expr(bit_terms).alias("simhash"))
+    return (
+        ex.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", F.expr(fp).alias("simhash"))
+    )
 
 
 def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -71,12 +71,18 @@ def _minhash_ctes() -> str:
     toks -> shingles -> signatures -> bands -> buckets -> candidates ->
     verified ``mh_pairs``.  Shared by the pair query and the
     connected-components clustering oracle."""
+    p = dedup.MINHASH_PRIME
     mh = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS mh{i}"
-        for i in range(MINHASH_FUNCS)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coeffs(MINHASH_FUNCS))
     )
     band_exprs = ", ".join(
-        "md5(" + " || ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)) + f") AS band{b}"
+        "md5("
+        + " || ':' || ".join(
+            f"CAST(mh{b * LSH_ROWS + r} AS VARCHAR)"
+            for r in range(LSH_ROWS)
+        )
+        + f") AS band{b}"
         for b in range(LSH_BANDS)
     )
     buckets = " UNION ALL ".join(
@@ -85,7 +91,8 @@ def _minhash_ctes() -> str:
     )
     return f"""{_TOKS_CTE},
     {_SH_CTE},
-    sig AS (SELECT doc_id, {mh} FROM sh),
+    hsed AS (SELECT doc_id, {dedup.MINHASH_BASE_DUCKDB} AS hs FROM sh),
+    sig AS (SELECT doc_id, {mh} FROM hsed),
     bands AS (SELECT doc_id, {band_exprs} FROM sig),
     buckets AS ({buckets}),
     bsize AS (SELECT band_idx, bucket, count(*) AS f FROM buckets
