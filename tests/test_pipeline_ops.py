@@ -644,6 +644,42 @@ def test_cms_overestimates_within_bound(spark):
         assert r["cms_count"] - r["true_count"] <= 2 * n / 8
 
 
+def test_cms_cells_match_driver_side_probe_hash(spark):
+    """The join-free point query only works if the ENGINE's cell
+    derivation (cms_cells: md5 digest sliced per hash row, computed in
+    the executed plan) and the DRIVER's plan-time replica (hashlib
+    inside cms_estimate.probe_bucket) agree bit-for-bit — they are
+    independent code paths.  Pin them against each other on both
+    branches (sliced rows<=4 and the >4 per-row-md5 fallback)."""
+    import hashlib
+
+    from hbase_tohdfs_spark.operators import sketch
+
+    vals = ["0", "17", "hello world", "a\\b'c", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "val string")
+    for rows, width in ((4, 256), (6, 64)):
+        # compare the full multiset of (r, bucket) cells — row order out
+        # of the engine is not meaningful
+        eng = sorted(
+            (r["r"], r["bucket"])
+            for r in sketch.cms_cells(
+                df, "val", rows=rows, width=width
+            ).collect()
+        )
+        exp = []
+        for v in vals:
+            for i in range(rows):
+                if rows <= 4:
+                    d = hashlib.md5(v.encode()).hexdigest()
+                    h = int(d[i * 8 : (i + 1) * 8], 16)
+                else:
+                    h = int(
+                        hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:15], 16
+                    )
+                exp.append((i, h % width))
+        assert eng == sorted(exp), f"rows={rows}"
+
+
 def test_cms_estimate_probe_edge_cases(spark):
     """r7 review pins for the join-free point query: empty probe list
     -> empty frame (not a crash); duplicate probes -> one row each
