@@ -67,6 +67,45 @@ def test_minhash_excludes_short_docs(docs):
     assert 5 not in {r["doc_id"] for r in sigs.collect()}
 
 
+def test_minhash_signature_matches_python_replica(spark):
+    """The engine's signature (explode -> codegen min aggs over the
+    affine rehash) must equal a brute-force Python replica of the same
+    family — pins the base-hash slice, the (a_i, b_i) derivation, and
+    the min semantics against an independent implementation."""
+    import hashlib
+
+    from hbase_tohdfs_spark.operators.text import shingle_docs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (2, "pack my box with five dozen liquor jugs now", "en", "s", 43),
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "doc_id: long, text: string, lang: string, source: string, n_chars: long",
+    )
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in shingle_docs(d, 3).collect()
+    }
+    p = dedup.MINHASH_PRIME
+    coeffs = dedup.minhash_coeffs(dedup.MINHASH_FUNCS)
+    expected = {}
+    for doc_id, shingles in sh.items():
+        base = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % p
+            for s in shingles
+        ]
+        expected[doc_id] = [
+            min((a * h + b) % p for h in base) for a, b in coeffs
+        ]
+    got = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(dedup.MINHASH_FUNCS)]
+        for r in dedup.minhash_signatures(d, k=3).collect()
+    }
+    assert got == expected
+
+
 def test_connected_components_chain_and_pair(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_id_a: long, doc_id_b: long"
