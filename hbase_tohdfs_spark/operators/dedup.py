@@ -8,7 +8,8 @@ ops (no Python in the hot path):
                  (Broder '97; the banding analysis is the classic
                  Leskovec/Rajaraman/Ullman MMDS construction).
 * SimHash      — 60-bit sign-of-weighted-sum fingerprint (Charikar '02),
-                 computed map-side with array lambdas, zero extra shuffle.
+                 explode + 60 codegen vote sums (one doc-keyed shuffle
+                 of partial-agg rows).
 * Embedding    — cosine-over-threshold near-dup pairs.
 
 Scale posture (100 TB): every stage is a narrow map until the single
@@ -90,9 +91,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of hash_i,
     where hash_i is the affine rehash of ONE md5-derived base hash per
-    shingle (see ``MINHASH_PRIME``).  Computed entirely map-side (array
-    lambdas over the shingle array — no explode, no shuffle).  Docs
-    with no shingles (< k tokens) are excluded, matching the oracle."""
+    shingle (see ``MINHASH_PRIME``; plan shape in
+    :func:`signatures_from_shingles`).  Docs with no shingles
+    (< k tokens) are excluded, matching the oracle."""
     return signatures_from_shingles(shingle_docs(docs, k), num_hashes)
 
 
