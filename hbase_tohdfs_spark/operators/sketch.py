@@ -667,24 +667,56 @@ def bloom_contains(
         )
     arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
     probes = []
-    for j in range(k_hashes):
-        if k_hashes <= _MAX_SLICED:
-            h = (
-                f"cast(conv(substr(md5(cast({key_sql} as string)), "
-                f"{j * _SLICE_HEX + 1}, {_SLICE_HEX}), 16, 10) as bigint)"
-                f" % {m_bits}"
-            )
-        else:
-            h = (
-                f"cast(conv(substr(md5(concat('{j}', ':',"
-                f" cast({key_sql} as string))), 1, 15), 16, 10) as bigint)"
-                f" % {m_bits}"
-            )
+    for h in bloom_pos_sqls(key_sql, m_bits, k_hashes):
         probes.append(
             f"((shiftright(element_at({arr}, cast(({h}) div 64 as int) + 1),"
             f" cast(({h}) % 64 as int)) & 1) = 1)"
         )
     return F.expr(" AND ".join(probes))
+
+
+def bloom_pos_sqls(
+    key_sql: str, m_bits: int = BLOOM_BITS, k_hashes: int = BLOOM_HASHES
+) -> list[str]:
+    """The k Bloom position expressions for one key, Spark-SQL spelling
+    — the single source of the probe-side hash derivation.  k <= 4:
+    disjoint digest slices of one md5; beyond that the digest is
+    exhausted and each position hashes ``j:key`` (same branch rule as
+    ``cms_cells``).  ``bloom_oracle_pos_sql`` is the DuckDB spelling;
+    keep the two branch-for-branch."""
+    key = f"cast({key_sql} as string)"
+    if k_hashes <= _MAX_SLICED:
+        return [
+            f"(cast(conv(substr(md5({key}), {j * _SLICE_HEX + 1}, "
+            f"{_SLICE_HEX}), 16, 10) as bigint) % {m_bits})"
+            for j in range(k_hashes)
+        ]
+    return [
+        f"(cast(conv(substr(md5(concat('{j}', ':', {key})), 1, 15), 16, 10)"
+        f" as bigint) % {m_bits})"
+        for j in range(k_hashes)
+    ]
+
+
+def bloom_oracle_pos_sql(
+    val_sql: str, m_bits: int = BLOOM_BITS, k_hashes: int = BLOOM_HASHES
+) -> str:
+    """DuckDB replay of the Bloom position derivation, branch for
+    branch with :func:`bloom_pos_sqls` (the round-7 review found the
+    oracle hardcoding the sliced branch — at k > 4 it would read past
+    the 32 hex digits and crash instead of replaying the engine's
+    fallback).  ``j.j`` is the hash-index column the caller supplies
+    via ``generate_series(0, k-1) AS j(j)``; ``val_sql`` must already
+    be VARCHAR."""
+    if k_hashes <= _MAX_SLICED:
+        return (
+            f"('0x' || substr(md5({val_sql}), 1 + {_SLICE_HEX} * j.j, "
+            f"{_SLICE_HEX}))::BIGINT % {m_bits}"
+        )
+    return (
+        f"('0x' || substr(md5(j.j || ':' || {val_sql}), 1, 15))::BIGINT"
+        f" % {m_bits}"
+    )
 
 
 def bloom_semijoin_stats(

@@ -1127,20 +1127,20 @@ def _bloom_semijoin_oracle(m: int = 4096, k: int = 3) -> str:
     """DuckDB replay: rebuild the bit set from the build keys, probe
     every order's k positions, demand all k hit (no false negatives by
     construction; HAVING count(DISTINCT j) = k mirrors the AND of the
-    k probes).  Positions replay ``sketch.bloom_mask``'s derivation:
-    position j = 32-bit slice j of ONE md5 digest (k <= 4)."""
+    k probes).  Position derivation comes from
+    ``sketch.bloom_oracle_pos_sql`` — the single source kept branch-
+    for-branch with the engine's ``bloom_pos_sqls``."""
+    from hbase_tohdfs_spark.operators.sketch import bloom_oracle_pos_sql
+
     return f"""
     WITH bkeys AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
                    FROM customer WHERE c_mktsegment = 'BUILDING'),
-    bits AS (SELECT DISTINCT
-                    ('0x' || substr(md5(v), 1 + 8 * j.j, 8))::BIGINT
-                      % {m} AS pos
+    bits AS (SELECT DISTINCT {bloom_oracle_pos_sql('v', m, k)} AS pos
              FROM bkeys CROSS JOIN generate_series(0, {k - 1}) AS j(j)),
     probe AS (SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS pk
               FROM orders),
     pp AS (SELECT o_orderkey, pk, j.j,
-                  ('0x' || substr(md5(pk), 1 + 8 * j.j, 8))::BIGINT
-                    % {m} AS pos
+                  {bloom_oracle_pos_sql('pk', m, k)} AS pos
            FROM probe CROSS JOIN generate_series(0, {k - 1}) AS j(j)),
     hits AS (SELECT o_orderkey, pk FROM pp
              WHERE pos IN (SELECT pos FROM bits)

@@ -907,6 +907,51 @@ def test_hll_rho_matches_python_trailing_zeros(spark):
             assert rho == expect, (w, rho, expect)
 
 
+def test_bloom_positions_agree_across_engine_oracle_and_replica(spark):
+    """The probe/mask/oracle position derivations are independent code
+    paths that must agree bit-for-bit on BOTH branches — the sliced
+    k<=4 path and the k>4 per-hash-md5 fallback (the round-7 review
+    caught the oracle lacking the fallback branch: at k=5 it read past
+    the 32 hex digits and crashed DuckDB instead of replaying the
+    engine)."""
+    import duckdb
+    import hashlib
+
+    from hbase_tohdfs_spark.operators import sketch
+
+    vals = ["1", "42", "hello", ""]
+    m = 128
+    for k in (3, 5):
+        # hashlib replica of the branch rule
+        def replica(v: str, j: int) -> int:
+            if k <= 4:
+                h = int(hashlib.md5(v.encode()).hexdigest()[8 * j : 8 * j + 8], 16)
+            else:
+                h = int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:15], 16)
+            return h % m
+
+        expected = {(v, j): replica(v, j) for v in vals for j in range(k)}
+        # engine probe-side SQL, evaluated by Spark
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        pos_sqls = sketch.bloom_pos_sqls("v", m, k)
+        eng_rows = df.select(
+            "v", *[F.expr(h).alias(f"p{j}") for j, h in enumerate(pos_sqls)]
+        ).collect()
+        engine = {
+            (r["v"], j): r[f"p{j}"] for r in eng_rows for j in range(k)
+        }
+        assert engine == expected, f"engine branch k={k}"
+        # DuckDB oracle replay
+        vals_sql = ", ".join(f"('{v}')" for v in vals)
+        got = duckdb.sql(
+            f"SELECT v, j.j, {sketch.bloom_oracle_pos_sql('v', m, k)} AS pos"
+            f" FROM (VALUES {vals_sql}) AS t(v)"
+            f" CROSS JOIN generate_series(0, {k - 1}) AS j(j)"
+        ).fetchall()
+        oracle = {(v, j): pos for v, j, pos in got}
+        assert oracle == expected, f"oracle branch k={k}"
+
+
 def test_bloom_rejects_ragged_bit_count(spark):
     """m_bits not a multiple of 64 would truncate the word array and
     turn missing high positions into FALSE NEGATIVES — both the build
