@@ -446,6 +446,47 @@ def probe_streaming(spark, n_rows: int) -> dict:
     return results
 
 
+def probe_text_curation(spark, n_docs: int) -> dict:
+    """Text-analysis and curation operators at tiled corpus sizes — the
+    two operator families whose scale posture was argued from plan
+    shape (pure codegen keyed aggs) but never measured.  The sf0.1
+    documents table (5k docs) is tiled to ``n_docs`` with fresh doc ids
+    and measured through the SHIPPED operators; each is a count() or
+    small-agg drain so wall clock is the distributed pass, not
+    collection."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import curation, text
+
+    k = max(1, n_docs // 5000)
+    docs = (
+        spark.read.option("pathGlobFilter", "documents.parquet")
+        .parquet("/root/testdata/sf0.1")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn("doc_id", F.col("doc_id") * k + F.col("rep"))
+        .drop("rep")
+        .persist()
+    )
+    n = docs.count()
+    results = {"probe": "text_curation", "n_docs": n}
+    try:
+        for name, fn in (
+            ("text_stats", lambda: text.text_stats(docs).agg(F.sum("n_tokens")).collect()),
+            ("lang_id", lambda: text.lang_id(docs).groupBy("predicted_lang").count().collect()),
+            ("fingerprint", lambda: text.fingerprint(docs).agg(F.count(F.lit(1))).collect()),
+            ("pack_sequences", lambda: curation.pack_sequences(docs).agg(F.max("seq_id")).collect()),
+            ("passage_dedup", lambda: curation.passage_dedup(docs).agg(F.count(F.lit(1))).collect()),
+        ):
+            t0 = time.perf_counter()
+            fn()
+            sec = time.perf_counter() - t0
+            results[f"{name}_sec"] = round(sec, 2)
+            results[f"{name}_rows_per_sec"] = int(n / sec)
+    finally:
+        docs.unpersist()
+    return results
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     # Probes deliberately run at millions of rows: force shuffle spill
@@ -474,6 +515,9 @@ def main() -> None:
     if which in ("streaming", "all"):
         print(json.dumps(probe_streaming(spark, 1_000_000)))
         print(json.dumps(probe_streaming(spark, 4_000_000)))
+    if which in ("text", "all"):
+        print(json.dumps(probe_text_curation(spark, 1_000_000)))
+        print(json.dumps(probe_text_curation(spark, 4_000_000)))
 
 
 if __name__ == "__main__":
