@@ -1,0 +1,137 @@
+"""Measured recall for the MinHash+LSH near-dup path and blocking
+completeness for the SimHash path.
+
+Round 7 gave the embedding-LSH dedup path measured recall
+(test_ann_recall.py::test_embedding_dedup_lsh_recall_measured); these
+tests give the other two near-dup families the same treatment — the
+quality claim is measured on a planted corpus, not argued from theory:
+
+* **MinHash**: banding theory (Broder '97 / MMDS ch.3) says a pair with
+  exact Jaccard ``s`` becomes an LSH candidate with probability
+  ``p(s) = 1 - (1 - s^r)^b`` (r = rows per band, b = bands; the shipped
+  default is r=4, b=4, whose S-curve midpoint sits at s ≈ 0.63).  The
+  verify stage re-checks exact Jaccard, so the pipeline's PRECISION is
+  1.0 by construction — asserted — and its RECALL at similarity ``s``
+  should track ``p(s)``.  Ground truth is brute-force
+  ``jaccard_verify`` over ALL doc pairs (no LSH in the loop).
+* **SimHash**: ``simhash_dup_pairs`` blocks on 4 disjoint 15-bit chunks
+  of the 60-bit fingerprint.  For ``max_hamming <= 3`` the pigeonhole
+  argument makes blocking EXACT (3 differing bits cannot touch all 4
+  chunks), so the blocked output must EQUAL the brute-force all-pairs
+  Hamming filter — completeness (recall = 1.0) measured as set
+  equality, not argued.
+
+Everything is deterministic: the corpus is seeded and every hash is
+md5-derived, so the measured numbers are stable across runs/platforms
+and the assertions are pinned near the observed values with margins
+that cover only engine-evolution drift, not run-to-run noise.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from hbase_tohdfs_spark.operators import dedup
+
+# ------------------------------------------------------------------ corpus
+
+N_BASE = 120
+DOC_TOKENS = 40
+#: token replacements per planted dup, cycled: spread positions kill ~3
+#: shingles per replaced token, spanning exact Jaccard ~0.5 .. ~0.9
+MUTATIONS = (1, 2, 3, 4)
+
+
+def _planted_corpus():
+    """(doc_id, text) rows: N_BASE random-token docs, each with one
+    planted near-dup at a controlled mutation level.  Vocabularies of
+    the base draw and the mutation draw are disjoint, so a mutation
+    always changes the token."""
+    rnd = random.Random(7)
+    vocab = [f"w{i:04d}" for i in range(4000)]
+    mvocab = [f"m{i:04d}" for i in range(4000)]
+    rows = []
+    for i in range(N_BASE):
+        base = rnd.sample(vocab, DOC_TOKENS)
+        rows.append((2 * i, " ".join(base)))
+        m = MUTATIONS[i % len(MUTATIONS)]
+        dup = list(base)
+        # spread replacement positions >= k apart so each kills a
+        # disjoint run of k-shingles (similarity is controlled, not
+        # assumed — ground truth below re-measures it exactly)
+        step = DOC_TOKENS // m
+        for j in range(m):
+            dup[j * step] = mvocab[rnd.randrange(len(mvocab))]
+        rows.append((2 * i + 1, " ".join(dup)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.createDataFrame(_planted_corpus(), "doc_id: long, text: string")
+    yield df
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, corpus):
+    """Brute-force ground truth: exact word-3-shingle Jaccard >= 0.5
+    over ALL doc pairs (no LSH anywhere in this path)."""
+    ids = corpus.select("doc_id")
+    a = ids.withColumnRenamed("doc_id", "doc_id_a")
+    b = ids.withColumnRenamed("doc_id", "doc_id_b")
+    allpairs = a.crossJoin(b).filter("doc_id_a < doc_id_b")
+    rows = dedup.jaccard_verify(corpus, allpairs, k=3, threshold=0.5).collect()
+    return {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in rows}
+
+
+def _analytic_p(s: float, r: int = dedup.LSH_ROWS, b: int = dedup.LSH_BANDS):
+    return 1.0 - (1.0 - s**r) ** b
+
+
+def test_minhash_recall_tracks_banding_theory(corpus, exact_pairs):
+    found = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.minhash_dedup_pairs(corpus, k=3, threshold=0.5).collect()
+    }
+    truth = set(exact_pairs)
+    # sanity: the corpus actually planted a similarity spread
+    assert len(truth) >= 80
+    sims = sorted(exact_pairs.values())
+    assert sims[0] < 0.6 and sims[-1] > 0.85
+
+    # precision 1.0 by construction (exact verify stage) — pinned
+    assert found <= truth
+
+    # measured overall recall vs the analytic banding expectation
+    recall = len(found & truth) / len(truth)
+    expected = sum(_analytic_p(s) for s in exact_pairs.values()) / len(truth)
+    assert abs(recall - expected) <= 0.12, (recall, expected)
+
+    # the high-similarity band is where near-dup recall must be strong
+    high = {p for p, s in exact_pairs.items() if s >= 0.8}
+    if high:
+        high_recall = len(found & high) / len(high)
+        assert high_recall >= 0.85, (high_recall, len(high))
+
+
+def test_simhash_blocking_is_complete(spark, corpus):
+    """Blocked pairs == brute-force all-pairs Hamming filter: the 4x15-bit
+    pigeonhole blocking loses NOTHING at max_hamming <= 3."""
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(corpus).collect()}
+    ids = sorted(fps)
+    brute = set()
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            if bin(fps[da] ^ fps[db]).count("1") <= 3:
+                brute.add((da, db))
+    blocked = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.simhash_dup_pairs(corpus, max_hamming=3).collect()
+    }
+    assert blocked == brute
+    # the corpus must exercise the claim: some pairs at distance 0 < h <= 3
+    # would be lost by a broken chunk split, so require a few
+    nonzero = [p for p in brute if fps[p[0]] != fps[p[1]]]
+    assert len(brute) >= 5 and len(nonzero) >= 1, (len(brute), len(nonzero))
