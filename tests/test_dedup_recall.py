@@ -70,12 +70,11 @@ def _planted_corpus():
 
 @pytest.fixture(scope="module")
 def corpus(spark):
-    df = spark.createDataFrame(_planted_corpus(), "doc_id: long, text: string")
-    yield df
+    return spark.createDataFrame(_planted_corpus(), "doc_id: long, text: string")
 
 
 @pytest.fixture(scope="module")
-def exact_pairs(spark, corpus):
+def exact_pairs(corpus):
     """Brute-force ground truth: exact word-3-shingle Jaccard >= 0.5
     over ALL doc pairs (no LSH anywhere in this path)."""
     ids = corpus.select("doc_id")

@@ -2,7 +2,7 @@
 SemDeDup at 100k vectors — the 1000x-over-gate-SF evidence runs, same
 spirit as tools/scale_demo.py (50M-cell export).
 
-Usage: python tools/scale_probe.py [bloom|semdedup|ngram|minhash|components|embedding|all]
+Usage: python tools/scale_probe.py [bloom|semdedup|ngram|minhash|components|embedding|streaming|text|all]
 Prints one JSON line per probe.
 """
 
@@ -450,21 +450,33 @@ def probe_text_curation(spark, n_docs: int) -> dict:
     """Text-analysis and curation operators at tiled corpus sizes — the
     two operator families whose scale posture was argued from plan
     shape (pure codegen keyed aggs) but never measured.  The sf0.1
-    documents table (5k docs) is tiled to ``n_docs`` with fresh doc ids
+    documents table is tiled to ``n_docs`` with fresh doc ids
     and measured through the SHIPPED operators; each is a count() or
     small-agg drain so wall clock is the distributed pass, not
-    collection."""
+    collection.
+
+    The tiled frame is REPARTITIONED before the persist: the base
+    table is one small parquet file = one input partition, and
+    ``explode`` preserves partitioning, so without the repartition
+    every timed map stage (the dominant tokenize/hash cost) would run
+    as a single task on one core and the recorded docs/s would be a
+    1-thread number dressed up as a cluster pass."""
     from pyspark.sql import functions as F
 
     from hbase_tohdfs_spark.operators import curation, text
 
-    k = max(1, n_docs // 5000)
+    base = spark.read.option("pathGlobFilter", "documents.parquet").parquet(
+        "/root/testdata/sf0.1"
+    )
+    n_base = base.count()
+    k = max(1, n_docs // n_base)
     docs = (
-        spark.read.option("pathGlobFilter", "documents.parquet")
-        .parquet("/root/testdata/sf0.1")
-        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        base.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+        )
         .withColumn("doc_id", F.col("doc_id") * k + F.col("rep"))
         .drop("rep")
+        .repartition(64)
         .persist()
     )
     n = docs.count()
