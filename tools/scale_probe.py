@@ -386,7 +386,15 @@ def probe_streaming(spark, n_rows: int) -> dict:
     deliberately: its per-row hashlib loop is the known throughput
     ceiling of the applyInPandasWithState shape, and the measured gap
     vs the JVM twins is the documented reason the JVM-expressible
-    sketches (CMS/HLL) do NOT use Python state."""
+    sketches (CMS/HLL) do NOT use Python state.
+
+    Parallelism hygiene (same trap as probe_text_curation, different
+    mechanism): the single tiled parquet file is written with 4 MiB
+    row groups and read with ``maxPartitionBytes`` lowered to match,
+    scoped to the timed section — at default settings a ~4M-row file
+    is 1-2 row groups, so every micro-batch's map stage (the per-event
+    hash/window work being measured) would run 1-2 tasks wide and the
+    rows/s would be near-single-thread numbers."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -415,9 +423,12 @@ def probe_streaming(spark, n_rows: int) -> dict:
         )
         .drop("rep")
     )
-    # one file named exactly events.parquet, like the testdata layout
+    # one file named exactly events.parquet, like the testdata layout;
+    # small row groups so the single file still splits into ~32 tasks
     tmp_write = out_dir + ".write"
-    tiled.coalesce(1).write.mode("overwrite").parquet(tmp_write)
+    tiled.coalesce(1).write.option(
+        "parquet.block.size", str(4 * 1024 * 1024)
+    ).mode("overwrite").parquet(tmp_write)
     os.makedirs(out_dir, exist_ok=True)
     part = [f for f in os.listdir(tmp_write) if f.endswith(".parquet")][0]
     os.rename(
@@ -426,6 +437,9 @@ def probe_streaming(spark, n_rows: int) -> dict:
     shutil.rmtree(tmp_write, ignore_errors=True)
 
     results = {"probe": "streaming_twins", "n_rows": n_base * k}
+    split_key = "spark.sql.files.maxPartitionBytes"
+    saved_split = spark.conf.get(split_key)
+    spark.conf.set(split_key, str(4 * 1024 * 1024))
     try:
         for name, fn in (
             ("hourly_rollup_jvm", lambda: ps.hourly_rollup_stream(spark, out_dir)),
@@ -442,6 +456,7 @@ def probe_streaming(spark, n_rows: int) -> dict:
             results[f"{name}_rows_per_sec"] = int(n_base * k / sec)
             results[f"{name}_out_rows"] = len(out)
     finally:
+        spark.conf.set(split_key, saved_split)
         shutil.rmtree(out_dir, ignore_errors=True)
     return results
 
