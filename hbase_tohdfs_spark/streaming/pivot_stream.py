@@ -597,9 +597,12 @@ def cms_counts_stream(
     final state equals the batch ``cms_counts`` over the same rows and
     the query shares the batch oracle verbatim (the same argument as the
     streaming KMV).  Update mode re-emits a cell on every batch that
-    touches it; counts are monotone per cell, so ``max`` after the sink
-    recovers the final sketch, which then flows through the SAME
-    ``cms_estimate`` probe code as the batch path.
+    touches it; counts are monotone per cell, so a per-cell ``max``
+    after the sink recovers the final sketch — and that max folds INTO
+    ``cms_estimate``'s single global probe aggregation
+    (``merge_emissions=True``) instead of paying a separate
+    ``groupBy(r, bucket)`` exchange over the emitted cells, so the
+    probe is the SAME code and plan shape as the batch path.
     """
     from hbase_tohdfs_spark.operators import sketch
     from hbase_tohdfs_spark.queries import _events
@@ -616,11 +619,12 @@ def cms_counts_stream(
     # parallelizes with input partitions regardless of this setting
     # (measured sf0.1: 2.05s at 4 parts -> 1.72s at 1)
     emitted = _run_to_memory(counts, "update", parts=1)
-    final_sketch = emitted.groupBy("r", "bucket").agg(
-        F.max("count").alias("c")
-    )
     return sketch.cms_estimate(
-        _events(spark, sf_dir), "user_id", probe_values, sketch=final_sketch
+        _events(spark, sf_dir),
+        "user_id",
+        probe_values,
+        sketch=emitted.select("r", "bucket", F.col("count").alias("c")),
+        merge_emissions=True,
     )
 
 
