@@ -512,6 +512,39 @@ def test_kmeans_separable_blobs(spark):
     assert got == {r["vec_id"]: r["cluster"] for r in again.collect()}
 
 
+def test_centroid_literal_is_bit_exact(spark):
+    """centroid_literal renders doubles through repr + SQL parse; the
+    round trip must be BIT-exact for the Lloyd trajectory (and thus the
+    DuckDB oracle) to be unaffected by the literal construction path.
+    Covers denormals, -0.0, huge/tiny exponents, NaN and infinities."""
+    import math
+    import random
+    import struct
+
+    rng = random.Random(11)
+    awkward = [
+        5e-324, -5e-324, -0.0, 0.1 + 0.2, 1e308, -1e-308,
+        float("nan"), float("inf"), float("-inf"), 123456789.123456789,
+    ]
+    randoms = [
+        rng.gauss(0, 1) * 10 ** rng.randint(-300, 300) for _ in range(22)
+    ]
+    cents = [awkward + randoms[:6], randoms[6:22] + awkward[:16]]
+    cents = [c[:16] for c in cents]
+    got = (
+        spark.range(1)
+        .select(similarity.centroid_literal(cents).alias("c"))
+        .collect()[0]["c"]
+    )
+    for want_row, got_row in zip(cents, got):
+        for w, g in zip(want_row, got_row):
+            if math.isnan(w):
+                assert math.isnan(g)
+            else:
+                # bit-level compare catches -0.0 vs 0.0 too
+                assert struct.pack(">d", w) == struct.pack(">d", g)
+
+
 def test_kmeans_assignment_is_shuffle_free(spark):
     """The assignment stage must be map-side: centroid literals, no join,
     no exchange anywhere in its plan."""
