@@ -333,6 +333,12 @@ def cms_estimate(
             for i, v in enumerate(probes)
         ]
     )
+    # coalesce(1) + sortWithinPartitions gives the identical total order
+    # as orderBy WITHOUT the range-partitioner's sampling job — the
+    # output is bounded by the probe list (<= _CMS_PROBE_FANOUT_MAX rows
+    # on this path), so one partition is right-sized at any corpus
+    # scale.  Measured ~0.3-0.4s/fresh execution at sf0.1 (SCALE.md
+    # "Round-7 continuation III", landed r8).
     return (
         est_row.crossJoin(truth_row)
         .select(F.explode(triples).alias("p"))
@@ -341,7 +347,8 @@ def cms_estimate(
             F.col("p.true_count").alias("true_count"),
             F.col("p.cms_count").alias("cms_count"),
         )
-        .orderBy(value_col)
+        .coalesce(1)
+        .sortWithinPartitions(value_col)
     )
 
 
@@ -391,6 +398,10 @@ def _cms_estimate_joined(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("true_count"))
     )
+    # Same sampling-job elision as the conditional-agg path: the output
+    # is exactly len(probes) rows — a driver-side Python list, model-
+    # sized by construction — so a single sorted partition beats a
+    # range-partitioned global sort at any corpus scale.
     return (
         est.join(F.broadcast(truth), "v", "left")
         .select(
@@ -400,7 +411,8 @@ def _cms_estimate_joined(
             ),
             "cms_count",
         )
-        .orderBy(value_col)
+        .coalesce(1)
+        .sortWithinPartitions(value_col)
     )
 
 

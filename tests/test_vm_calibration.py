@@ -1,0 +1,79 @@
+"""VM-calibration protocol guards (r7 verdict task 2 + ADVICE r7).
+
+The calibration tool and the close_round gate protect the bench
+protocol from the host's 3-10x throughput swings.  These tests pin the
+cheap, Spark-free policy pieces: argument validation, the sf-mismatch
+refusal, the shared-floor invariant, and close_round's refuse/annotate
+decision.  The expensive probe itself (a real tpch_q6 run) is exercised
+by actually using the tool each round, not here.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+import close_round  # noqa: E402
+import vm_calibrate  # noqa: E402
+
+
+def test_floor_is_shared_with_bench():
+    # One source of truth: if the tool and the per-run BENCH note ever
+    # disagree on the floor, every health verdict becomes ambiguous.
+    assert vm_calibrate.HEALTHY_MIN == bench.VM_HEALTHY_Q6_MIN
+    assert vm_calibrate.HEALTHY_FACTOR == bench.VM_HEALTHY_FACTOR
+
+
+def test_calibrate_rejects_nonpositive_runs():
+    # ADVICE r7: `vm_calibrate.py 0` used to reach min([]) and die with
+    # an unhelpful ValueError after paying a Spark session.
+    with pytest.raises(ValueError, match="n_runs"):
+        vm_calibrate.calibrate(0)
+    with pytest.raises(ValueError, match="n_runs"):
+        vm_calibrate.calibrate(-3)
+
+
+def test_calibrate_refuses_wrong_sf(monkeypatch):
+    # ADVICE r7: HEALTHY_MIN is an sf0.1 floor; any other sf-dir must
+    # refuse rather than emit a false HEALTHY/DEGRADED verdict.  The
+    # guard fires before the drift check and before any Spark session.
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    with pytest.raises(SystemExit, match="calibrated"):
+        vm_calibrate.calibrate(4)
+
+
+def test_gate_healthy_proceeds():
+    assert close_round.calibration_gate(1.0, require_healthy=False) is None
+    assert close_round.calibration_gate(1.0, require_healthy=True) is None
+    # boundary: exactly at the factor is still healthy
+    assert (
+        close_round.calibration_gate(
+            bench.VM_HEALTHY_FACTOR, require_healthy=True
+        )
+        is None
+    )
+
+
+def test_gate_degraded_refuses_only_when_required(capsys):
+    # End-of-round close-outs must still lay protective bench history on
+    # a sick host (annotate + proceed); perf-landing close-outs must
+    # refuse (an A/B claim from a degraded host is untrustworthy).
+    assert close_round.calibration_gate(6.0, require_healthy=False) is None
+    assert "DEGRADED" in capsys.readouterr().out
+    rc = close_round.calibration_gate(6.0, require_healthy=True)
+    assert rc == 3
+    assert "refusing" in capsys.readouterr().err
+
+
+def test_vm_health_note_wording():
+    note = bench.vm_health_note(0.21)
+    assert "HEALTHY" in note and "DEGRADED" not in note
+    note = bench.vm_health_note(1.2)
+    assert "DEGRADED" in note and "not" in note  # carries the attribution

@@ -39,12 +39,59 @@ def _run(cmd: list[str], **kw) -> subprocess.CompletedProcess:
     return subprocess.run(cmd, cwd=REPO, **kw)
 
 
+def calibration_gate(factor: float, require_healthy: bool) -> int | None:
+    """Decide what a calibration reading means for the close-out.
+
+    Returns None to proceed, or a non-zero exit code to refuse.  Split
+    out from main() so the refusal policy is unit-testable without
+    spawning Spark (r7 verdict task 2: "refuses/annotates when the host
+    reads >1.5x the healthy floor").
+
+    Policy: a DEGRADED host never blocks the END-OF-ROUND close-out —
+    the protective bench history MUST still be laid (minima absorb sick
+    runs; skipping them is what hurt round 7).  It DOES block a
+    perf-landing close-out when the operator passes --require-healthy,
+    because an A/B claim made on a degraded host is untrustworthy.
+    """
+    import bench
+
+    if factor <= bench.VM_HEALTHY_FACTOR:
+        return None
+    if require_healthy:
+        print(
+            f"close_round: VM DEGRADED ({factor:.1f}x the healthy "
+            "tpch_q6 floor) and --require-healthy was passed — refusing; "
+            "re-run when tools/vm_calibrate.py reads HEALTHY",
+            file=sys.stderr,
+        )
+        return 3
+    print(
+        f"close_round: VM DEGRADED ({factor:.1f}x the healthy floor) — "
+        "proceeding (bench minima absorb sick runs), but do NOT read "
+        "this close-out's raw totals as regressions; the per-run "
+        "vm_calibration note in BENCH_HISTORY carries the attribution",
+        flush=True,
+    )
+    return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("round", type=int)
     ap.add_argument("--bench-runs", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument(
+        "--require-healthy",
+        action="store_true",
+        help="abort (rc 3) if the min-of-4 tpch_q6 calibration reads "
+        "DEGRADED — use when this close-out certifies a perf landing",
+    )
+    ap.add_argument(
+        "--skip-calibration",
+        action="store_true",
+        help="skip the VM calibration probe (e.g. non-sf0.1 sf-dir)",
+    )
     ap.add_argument(
         "--allow-dirty",
         action="store_true",
@@ -73,6 +120,24 @@ def main() -> int:
             file=sys.stderr,
         )
         return 2
+
+    # Calibration first (r7 verdict task 2): record host health before
+    # any timing-bearing artifact is produced.  min-of-4 tpch_q6 under
+    # the exact bench protocol; the same floor also annotates every
+    # bench line via bench.vm_health_note.
+    if not args.skip_calibration:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        import vm_calibrate
+
+        runs, factor, verdict = vm_calibrate.calibrate(4)
+        print(
+            f"\n=== close_round calibration: tpch_q6 {runs} -> min "
+            f"{min(runs):.2f}s = {factor:.1f}x healthy floor -> {verdict}",
+            flush=True,
+        )
+        rc = calibration_gate(factor, args.require_healthy)
+        if rc is not None:
+            return rc
 
     sweep_path = f"ORACLE_FULL_r{args.round:02d}.json"
     rc = _run(

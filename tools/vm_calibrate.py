@@ -27,19 +27,42 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: healthy historical minimum for tpch_q6 at sf0.1 on this box (s).
-HEALTHY_MIN = 0.20
+import bench
+
+#: healthy historical minimum for tpch_q6 at sf0.1 on this box (s);
+#: single source of truth lives in bench.py so the per-run BENCH
+#: calibration note and this tool can never disagree.  The floor is
+#: sf-SPECIFIC — calibrate() refuses any other SPARK_GRAFT_SF_DIR
+#: rather than comparing against the wrong scale (ADVICE r7).
+HEALTHY_MIN = bench.VM_HEALTHY_Q6_MIN
+CALIBRATED_SF_DIR_SUFFIX = "sf0.1"
 #: at or below this multiple of HEALTHY_MIN, perf measurements are
 #: trustworthy; above it, freeze .py files and do artifact/doc work.
-HEALTHY_FACTOR = 1.75
+HEALTHY_FACTOR = bench.VM_HEALTHY_FACTOR
 
 
-def main() -> None:
-    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    import bench
+def calibrate(n_runs: int = 4) -> tuple[list[float], float, str]:
+    """Run the calibration probe; return (runs, factor, verdict).
+
+    Importable so tools/close_round.py can record the same measurement
+    in BENCH notes without a subprocess round-trip.
+    """
+    if n_runs < 1:
+        raise ValueError(f"n_runs must be >= 1, got {n_runs}")
     from hbase_tohdfs_spark.queries import REGISTRY
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not sf_dir.rstrip("/").endswith(CALIBRATED_SF_DIR_SUFFIX):
+        raise SystemExit(
+            f"vm_calibrate: HEALTHY_MIN={HEALTHY_MIN}s is calibrated for "
+            f"{CALIBRATED_SF_DIR_SUFFIX} only; SPARK_GRAFT_SF_DIR={sf_dir} "
+            "would produce a meaningless verdict (ADVICE r7)"
+        )
+    # Same precondition as bench.main(): a drifted lineitem table would
+    # silently shift tpch_q6 timing and corrupt the health verdict.
+    from hbase_tohdfs_spark.drift import check_or_raise
+
+    check_or_raise()
     spark = bench._fresh_session()
     fn = REGISTRY["tpch_q6"].fn
     runs: list[float] = []
@@ -54,9 +77,20 @@ def main() -> None:
     best = min(runs)
     factor = best / HEALTHY_MIN
     verdict = "HEALTHY" if factor <= HEALTHY_FACTOR else "DEGRADED"
+    return runs, factor, verdict
+
+
+def main() -> None:
+    try:
+        n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    except ValueError:
+        raise SystemExit(f"usage: vm_calibrate.py [n_runs>=1] — got {sys.argv[1]!r}")
+    if n_runs < 1:
+        raise SystemExit(f"usage: vm_calibrate.py [n_runs>=1] — got {n_runs}")
+    runs, factor, verdict = calibrate(n_runs)
     print(f"tpch_q6 runs: {runs}")
     print(
-        f"min {best:.2f}s = {factor:.1f}x the healthy floor "
+        f"min {min(runs):.2f}s = {factor:.1f}x the healthy floor "
         f"({HEALTHY_MIN:.2f}s) -> {verdict}"
     )
     if verdict == "DEGRADED":
