@@ -250,9 +250,23 @@ def minhash_dedup_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = DEDUP_MAX_BUCKET,
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: MinHash -> LSH candidates (mega-bucket
     capped by default) -> exact Jaccard verification.
+
+    ``bands``/``rows_per_band`` tune the banding S-curve to the target
+    similarity: candidate probability is 1 - (1 - s^rows)^bands, and the
+    default 4x4 is steep around s ~ 0.75 — a LOW-threshold dedup (the
+    registry default threshold=0.5 implies caring about s ~ 0.5 pairs)
+    wants wider, shallower bands: 8x2 lifts measured recall at s in
+    [0.45, 0.6) from ~0.28 to ~0.9 on the planted corpus
+    (tests/test_dedup_recall.py::test_minhash_banding_knob_recall_at_low_s)
+    at the cost of more candidate pairs per true pair (s^2 vs s^4 bucket
+    collision for unrelated docs — still bucketed, never all-pairs).
+    The signature is sized bands*rows_per_band automatically; precision
+    stays 1.0 regardless (exact Jaccard verify).
 
     The shingle frame and the signatures are persisted: the LSH bucket
     self-join and the verification join each consume them twice, and
@@ -263,8 +277,15 @@ def minhash_dedup_pairs(
     eagerly and the intermediates released before returning, so repeated
     calls on a long-lived session don't accumulate executor storage."""
     sh_docs = shingle_docs(docs, k).persist()
-    sigs = signatures_from_shingles(sh_docs).persist()
-    cands = lsh_candidate_pairs(sigs, max_bucket_size=max_bucket_size)
+    sigs = signatures_from_shingles(
+        sh_docs, num_hashes=bands * rows_per_band
+    ).persist()
+    cands = lsh_candidate_pairs(
+        sigs,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
     pairs = jaccard_verify_from_shingles(sh_docs, cands, threshold)
     return cacheutil.materialize_and_release(pairs, sh_docs, sigs)
 
@@ -827,9 +848,7 @@ def _embedding_dup_pairs_lsh(
     the exact path's pairs; the only semantic difference is candidate-
     stage recall (>= ~0.99 by ``_lsh_params`` choice; measured in
     tests/test_ann_recall.py and the SCALE.md probes).  Pairs caught in
-    several tables dedup via ``distinct`` over bit-identical rows."""
-    import pandas as pd
-
+    several tables dedup via the shared ``_bucket_gemm_pairs`` tail."""
     from hbase_tohdfs_spark.operators.similarity import (
         bucket_expr,
         hyperplane_signs,
@@ -858,6 +877,26 @@ def _embedding_dup_pairs_lsh(
             "v",
         )
         tagged = bt if tagged is None else tagged.unionByName(bt)
+    return _bucket_gemm_pairs(tagged, threshold, round_to)
+
+
+def _bucket_gemm_pairs(
+    tagged: DataFrame,
+    threshold: float,
+    round_to: int,
+    group_shift: int = _LSH_GROUP_SHIFT,
+) -> DataFrame:
+    """Bucket-local exact verification shared by the LSH and IVF
+    embedding-dedup routes: ``tagged`` carries ``(tbl, bkt, vec_id, v)``
+    where any two rows with equal (tbl, bkt) are candidates.  Scores
+    pairwise cosines with one NumPy GEMM per group of 2^group_shift
+    adjacent buckets (cross-bucket pairs masked out — grouping only
+    amortizes per-group Python/Arrow overhead, the candidate SET is
+    exactly the per-bucket one), blocks mega-buckets at
+    ``_LSH_GEMM_BLOCK`` rows, and collapses pairs caught in several
+    (tbl, bkt) cells via a keyed max over the tiny post-threshold rows.
+    """
+    import pandas as pd
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -914,7 +953,7 @@ def _embedding_dup_pairs_lsh(
         )
 
     grouped = tagged.withColumn(
-        "grp", F.shiftright("bkt", _LSH_GROUP_SHIFT)
+        "grp", F.shiftright("bkt", group_shift)
     )
     pairs = grouped.groupBy("tbl", "grp").applyInPandas(
         score_group, "vec_id_a long, vec_id_b long, cosine double"
@@ -927,6 +966,140 @@ def _embedding_dup_pairs_lsh(
     return pairs.groupBy("vec_id_a", "vec_id_b").agg(
         F.max("cosine").alias("cosine")
     )
+
+
+#: IVF route sizing: codebook ~ sqrt(n) cells (verify cost ~ p^2 n^2/k
+#: = p^2 n^(3/2) — subquadratic), capped so the centroid literal the
+#: k-means assignment codegen carries stays parser-sized.
+_IVF_MAX_CELLS = 2048
+#: vectors each k-means training pass sees at most (deterministic
+#: hash-sample; the codebook is a candidate BLOCKER, not a model —
+#: sampled training loses nothing measurable, see tests)
+_IVF_TRAIN_CAP = 65536
+#: default multi-probe width: each vector joins its ``probes`` nearest
+#: cells, so a pair straddling a cell boundary still meets in a shared
+#: probed cell with high probability.  Probes are the recall knob at
+#: wide angles — a 63-degree pair's nearest cells genuinely differ, and
+#: the probe sets must be wide enough to overlap.  Measured on the
+#: topical test corpus (40 topics, threshold 0.45, k=44 cells): recall
+#: 0.835 at p=4 -> 0.996 at p=8; verify work grows ~p^2.
+_IVF_PROBES = 8
+
+
+def _embedding_dup_pairs_ivf(
+    embeddings: DataFrame,
+    threshold: float,
+    round_to: int,
+    num_cells: int | None = None,
+    probes: int = _IVF_PROBES,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF-clustered embedding dedup for WIDE-ANGLE thresholds (the
+    regime where sign-bucket LSH cannot prune — ``_lsh_params`` would
+    need thousands of tables below cosine ~0.6).
+
+    Shape: train a ~sqrt(n)-cell k-means codebook on a deterministic
+    hash-sample (``kmeans_train``: map-side literal-centroid assignment,
+    k*d-row update shuffles), assign every vector to its ``probes``
+    nearest cells with one Arrow-batched GEMM pass (n x k dots as BLAS,
+    not per-row exprs), then run the SAME bucket-local exact verify as
+    the LSH route (``_bucket_gemm_pairs``) with cell = bucket.  Every
+    emitted pair is exactly scored, so output is a strict subset of the
+    exact grid's pairs; the approximation is candidate recall only.
+
+    WHY THIS PRUNES WHERE LSH CANNOT: random-hyperplane collisions
+    depend only on the pair's ANGLE (hopeless at 63 degrees), but real
+    embedding corpora are clustered — a wide-angle near-dup pair sits
+    inside a semantic cluster whose k-means cell captures both members,
+    and multi-probe assignment covers pairs near cell boundaries.
+    Recall is therefore DATA-dependent, not parameter-guaranteed:
+    measured 1.0 at threshold 0.45 on the planted topical corpus
+    (tests/test_dedup_recall.py::test_ivf_route_recall_wide_angle) and
+    >= 0.9 on the 500k-vector probe (SCALE.md r8).  A uniform-random
+    corpus is the adversarial case for ANY wide-angle blocker; there
+    the honest answer stays ``method="exact"``.
+
+    Scale: verify cost ~ sum over cells of occupancy^2 ~ p^2 * n^2 / k;
+    with k ~ sqrt(n) that is p^2 * n^1.5 GEMM flops, shuffle volume is
+    ``probes`` copies of the corpus, and a skewed mega-cell is blocked
+    at ``_LSH_GEMM_BLOCK`` rows inside the shared verify.  Past
+    ``_IVF_MAX_CELLS`` (n ~ 4M at the sqrt sizing) cells grow instead
+    of multiplying — verify work per vector then grows ~n/k; widen the
+    cap (bigger driver-held codebook) before reaching for that regime.
+    """
+    import pandas as pd
+
+    from hbase_tohdfs_spark.operators.similarity import kmeans_train
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n_row = e.selectExpr("count(*) AS n", "max(size(v)) AS d").first()
+    n = int(n_row["n"])
+    if n == 0:
+        return e.sparkSession.createDataFrame(
+            [], "vec_id_a long, vec_id_b long, cosine double"
+        )
+    if num_cells is None:
+        num_cells = max(16, min(_IVF_MAX_CELLS, int(round(n**0.5))))
+    num_cells = min(num_cells, n)
+    probes = max(1, min(probes, num_cells))
+
+    # Deterministic hash-sample for training: the codebook only needs to
+    # see the corpus' cluster structure, not every row.  Training ids
+    # are hash-SCRAMBLED: kmeans_train seeds from the k lowest ids, and
+    # real corpora arrive sorted (by topic, crawl order, shard) — naive
+    # lowest-id seeding would then draw every seed from one corner of
+    # the space, leaving Lloyd few iterations to migrate centroids out.
+    # crc32 of the id gives a deterministic, order-independent
+    # pseudo-random seed sample at zero cost.
+    train = e
+    if n > _IVF_TRAIN_CAP:
+        m = max(1, n // _IVF_TRAIN_CAP)
+        train = train.filter(
+            F.crc32(F.col("vec_id").cast("string")) % m == 0
+        )
+    train = train.select(
+        F.crc32(F.col("vec_id").cast("string")).alias("vec_id"), "v"
+    )
+    cents, _ = kmeans_train(
+        train, k=num_cells, iters=iters, vec_col="v", id_col="vec_id"
+    )
+
+    def assign_batches(batches):
+        import numpy as np
+
+        c = np.asarray(cents, dtype="float64")
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        p = probes
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf["v"].to_numpy())
+            norms = np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+            )
+            sims = (vecs / norms) @ c.T
+            # top-p cells per row; argpartition is O(k) per row
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            out = pd.DataFrame(
+                {
+                    "tbl": np.zeros(len(pdf) * p, dtype="int32"),
+                    "bkt": top.reshape(-1).astype("int64"),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), p),
+                    # object-array repeat copies references, not vectors
+                    "v": np.repeat(pdf["v"].to_numpy(), p),
+                }
+            )
+            yield out
+
+    tagged = e.mapInPandas(
+        assign_batches, "tbl int, bkt long, vec_id long, v array<double>"
+    )
+    # group_shift=0: IVF cells are already occupancy ~ p*sqrt(n) — big
+    # enough that one cell per Python group amortizes fine, and k groups
+    # keep the verify stage parallel.
+    return _bucket_gemm_pairs(tagged, threshold, round_to, group_shift=0)
 
 
 def embedding_dup_pairs(
@@ -960,21 +1133,30 @@ def embedding_dup_pairs(
     logging WARNING.  Force a path with ``method="exact"`` /
     ``method="lsh"``.
 
-    LOW THRESHOLDS DON'T PRUNE: sign-bucket LSH collision probability
-    decays exponentially with the angle, so past the envelope a low
-    ``threshold`` (e.g. 0.45) makes ``target_recall`` unreachable at
-    any sane table count — the route RAISES with the achievable recall
-    rather than silently under-delivering; lower ``target_recall``
-    explicitly or insist on ``method="exact"`` to proceed.
+    LOW THRESHOLDS DON'T PRUNE WITH LSH: sign-bucket collision
+    probability decays exponentially with the angle, so past the
+    envelope a low ``threshold`` (e.g. 0.45) makes ``target_recall``
+    unreachable at any sane table count.  The auto-route now falls
+    through to the IVF-clustered path (``_embedding_dup_pairs_ivf``:
+    trained ~sqrt(n)-cell codebook -> multi-probe assignment ->
+    bucket-local exact verify) whose pruning exploits CLUSTER STRUCTURE
+    instead of raw angle — recall is data-dependent (measured on the
+    planted topical corpus and the SCALE.md probe) rather than
+    parameter-guaranteed, and the route warning says so.  An explicit
+    ``method="lsh"`` still RAISES with the achievable recall rather
+    than silently under-delivering; ``method="ivf"`` forces the
+    clustered path at any size/threshold.
     """
     import pandas as pd
 
-    if method not in (None, "exact", "lsh"):
+    if method not in (None, "exact", "lsh", "ivf"):
         raise ValueError(f"unknown method {method!r}")
     if method == "lsh":
         return _embedding_dup_pairs_lsh(
             embeddings, threshold, round_to, target_recall=target_recall
         )
+    if method == "ivf":
+        return _embedding_dup_pairs_ivf(embeddings, threshold, round_to)
     nb_row = embeddings.selectExpr(
         f"int(ceil(count(*) / {block_size})) AS nb",
         "count(*) AS n",
@@ -983,21 +1165,46 @@ def embedding_dup_pairs(
         import logging
         import warnings
 
+        n = int(nb_row["n"])
+        try:
+            _lsh_params(n, threshold, target_recall)
+            route, routed = "lsh", (
+                lambda: _embedding_dup_pairs_lsh(
+                    embeddings,
+                    threshold,
+                    round_to,
+                    target_recall=target_recall,
+                )
+            )
+            detail = "subquadratic sign-LSH candidates, ~0.99 recall"
+        except ValueError:
+            # Wide-angle regime: sign-LSH cannot reach target_recall at
+            # any sane table count (r7 verdict task 4) — route to the
+            # IVF-clustered blocker instead of erroring out.
+            route, routed = "ivf", (
+                lambda: _embedding_dup_pairs_ivf(
+                    embeddings, threshold, round_to
+                )
+            )
+            detail = (
+                "IVF-clustered candidates; recall rides on the corpus' "
+                "cluster structure (measured on planted corpora, NOT "
+                "parameter-guaranteed — uniform-random corpora need "
+                'method="exact")'
+            )
         msg = (
-            f"embedding_dup_pairs: {nb_row['n']} vectors exceed the "
+            f"embedding_dup_pairs: {n} vectors exceed the "
             f"exact block-grid envelope ({max_exact_vectors}); routing "
-            "to the LSH-pruned path (subquadratic candidates, ~0.99 "
-            'recall — NOT exact). Pass method="exact" to insist on the '
-            'grid or method="lsh" to acknowledge the approximation.'
+            f"to the {route} path ({detail} — NOT exact). Pass "
+            'method="exact" to insist on the grid or '
+            f'method="{route}" to acknowledge the approximation.'
         )
         # both channels: warnings for interactive callers, logging at
         # WARNING so the recall change is visible in cluster driver logs
         # where warnings.warn output is easy to miss (ADVICE r6)
         warnings.warn(msg, stacklevel=2)
         logging.getLogger(__name__).warning(msg)
-        return _embedding_dup_pairs_lsh(
-            embeddings, threshold, round_to, target_recall=target_recall
-        )
+        return routed()
     nb = max(int(nb_row["nb"]), 1)
     e = embeddings.select(
         "vec_id",

@@ -12,7 +12,7 @@ them exactly — see ``queries.py`` for the paired oracle SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tokenization shared by text analysis + dedup: lowercase, split on
@@ -283,17 +283,52 @@ def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     ``window`` shingles, dedupe.  Output: per-doc fingerprint count and
     the smallest fingerprint (a stable content signature).
 
-    Scale: posexplode is a generator (no shuffle); the window function
-    shuffles once on ``doc_id`` — partition-local afterwards.
+    Formulated as explode -> codegen ``min`` aggregation, NOT a sliding
+    window function (the same reshape that won 3.6x for SimHash, r7):
+    each hashed shingle at ``pos`` is replicated to the window ids
+    ``pos .. min(pos + window - 1, max_pos)`` it participates in —
+    exactly the clipped ``rowsBetween(-(window-1), 0)`` frame, windows
+    indexed by their LAST position — and ``groupBy(doc_id, wid).min(h)``
+    recovers each window's minimum.  vs the window-function plan this
+    deletes the per-doc_id SORT of every shingle row (the term that
+    tracked data volume linearly in the 1M/4M probe, SCALE.md) and the
+    explode's map-side partial agg collapses the ``window``-fold row
+    fan-out back to ~n_shingles rows before the shuffle, because a
+    doc's exploded rows never leave their input partition.  md5 runs
+    once per shingle BELOW the Generate, so the explode copies a
+    32-char digest instead of re-hashing (the CMS/Bloom digest-placement
+    move).
+
+    Scale: 2 generators (no shuffle), one hash-partitioned aggregation
+    on (doc_id, wid), then the distinct+summary aggregation pair over
+    the already-shrunk fingerprint rows.  No sort anywhere.
     """
-    exploded = explode_shingles(shingle_docs(docs, k))
-    hashed = exploded.select("doc_id", "pos", F.md5("shingle").alias("h"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(window - 1), 0)
+    sh = shingle_docs(docs, k)
+    hashed = (
+        sh.select(
+            "doc_id",
+            (F.size("sh") - 1).alias("max_pos"),
+            F.posexplode_outer("sh").alias("pos", "shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .select("doc_id", "max_pos", "pos", F.md5("shingle").alias("h"))
     )
-    fps = hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    wids = hashed.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("pos"),
+                F.least(F.col("pos") + (window - 1), F.col("max_pos")),
+            )
+        ).alias("wid"),
+        "h",
+    )
+    fps = (
+        wids.groupBy("doc_id", "wid")
+        .agg(F.min("h").alias("fp"))
+        .select("doc_id", "fp")
+        .distinct()
+    )
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fp").alias("min_fingerprint"),

@@ -148,11 +148,12 @@ def test_embedding_dedup_lsh_recall_measured(spark):
 
 def test_lsh_params_refuse_unreachable_recall(spark):
     """Sign-LSH cannot prune wide angles: at threshold 0.45 past the
-    envelope the table count needed for 0.99 recall is ~10^3-10^4, so
-    the route must RAISE with the achievable recall instead of silently
-    delivering ~2% (r7 review finding — the registry's own
-    dedup_embedding query uses threshold 0.45 and would hit this shape
-    on a >1M-vector corpus)."""
+    envelope the table count needed for 0.99 recall is ~10^3-10^4, so an
+    EXPLICIT method="lsh" must RAISE with the achievable recall instead
+    of silently delivering ~2% (r7 review finding).  The auto-route no
+    longer errors: it falls through to the IVF-clustered path (r7
+    verdict task 4), with the warning naming the route and its
+    data-dependent recall."""
     import pytest
 
     from hbase_tohdfs_spark.operators import dedup
@@ -166,12 +167,77 @@ def test_lsh_params_refuse_unreachable_recall(spark):
     planes, tables = _lsh_params(2_000_000, threshold=0.45, target_recall=0.01)
     assert tables <= 32
 
-    # the routed operator surfaces the same refusal end-to-end
     emb = spark.createDataFrame(
-        [(i, [float(i), 1.0]) for i in range(40)],
+        [(i, [float(i), 1.0, 0.0, 1.0]) for i in range(40)],
         "vec_id: long, embedding: array<double>",
-    )
+    ).persist()
+    # explicit method="lsh" surfaces the refusal end-to-end
     with pytest.raises(ValueError, match="achievable recall"):
-        dedup.embedding_dup_pairs(
+        dedup.embedding_dup_pairs(emb, threshold=0.45, method="lsh").collect()
+    # the auto-route past the envelope goes to IVF instead of raising,
+    # and says so
+    with pytest.warns(UserWarning, match="ivf"):
+        out = dedup.embedding_dup_pairs(
             emb, threshold=0.45, max_exact_vectors=10
         ).collect()
+    # IVF pairs are exact-verified: every emitted pair really clears the
+    # threshold per the exact path
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in dedup.embedding_dup_pairs(
+            emb, threshold=0.45, method="exact"
+        ).collect()
+    }
+    assert {(r["vec_id_a"], r["vec_id_b"]) for r in out} <= exact
+    emb.unpersist()
+
+
+def test_ivf_route_recall_wide_angle(spark):
+    """The wide-angle regime the IVF route exists for (r7 verdict task
+    4): a TOPICAL corpus (the structure real embedding corpora have)
+    with near-dup pairs planted at cosine ~0.45-0.65 — angles where
+    sign-LSH's collision probability makes target recall unreachable.
+    The clustered codebook + multi-probe assignment must recover >= 0.9
+    of the exact path's pairs at threshold 0.45, with zero false
+    positives (candidates are exact-verified)."""
+    from hbase_tohdfs_spark.operators import dedup
+
+    rng = np.random.default_rng(41)
+    n_topics, per_topic, dim = 40, 30, 32
+    centers = rng.normal(size=(n_topics, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    # sigma ~0.75 puts intra-topic member cosines around 0.45-0.75:
+    # cos ~= 1 / (1 + sigma^2) in expectation for unit centers
+    for t in range(n_topics):
+        for _ in range(per_topic):
+            v = centers[t] + 0.75 * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # background noise: vectors with no planted structure
+    for _ in range(800):
+        v = rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    ).persist()
+
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in dedup.embedding_dup_pairs(
+            emb, threshold=0.45, method="exact"
+        ).collect()
+    }
+    assert len(exact) >= 500, len(exact)  # the corpus really has wide pairs
+    ivf = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in dedup.embedding_dup_pairs(
+            emb, threshold=0.45, method="ivf"
+        ).collect()
+    }
+    assert ivf <= exact  # exact verify => no false positives
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(ivf))
+    emb.unpersist()

@@ -115,6 +115,46 @@ def test_minhash_recall_tracks_banding_theory(corpus, exact_pairs):
         assert high_recall >= 0.85, (high_recall, len(high))
 
 
+def test_minhash_banding_knob_recall_at_low_s(corpus, exact_pairs):
+    """The banding knob exists for LOW-similarity dedup (r7 verdict task
+    5): the default 4x4 S-curve is steep at s ~ 0.75, so pairs at
+    s ~ 0.5 slip through (analytic p ~ 0.23 at s=0.5).  8x2 re-centers
+    the curve — measured recall on the s in [0.45, 0.6) band must reach
+    0.9 on the same planted corpus where the default demonstrably does
+    not, with precision still 1.0 (the exact verify stage is unchanged).
+    """
+    low = {p for p, s in exact_pairs.items() if s < 0.6}
+    assert len(low) >= 20, len(low)  # the corpus plants a low-s band
+
+    found_8x2 = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            corpus, k=3, threshold=0.5, bands=8, rows_per_band=2
+        ).collect()
+    }
+    # precision 1.0: the exact verify stage is unchanged by the banding
+    assert found_8x2 <= set(exact_pairs)
+    recall_low = len(found_8x2 & low) / len(low)
+    assert recall_low >= 0.9, (recall_low, len(low))
+
+    # the default banding really is blind at this band (the knob earns
+    # its existence): analytic expectation ~0.2-0.35 there
+    found_default = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            corpus, k=3, threshold=0.5
+        ).collect()
+    }
+    default_low = len(found_default & low) / len(low)
+    assert default_low < recall_low, (default_low, recall_low)
+    # and the measured 8x2 curve tracks its own analytic form
+    expected = sum(
+        _analytic_p(s, r=2, b=8) for s in exact_pairs.values()
+    ) / len(exact_pairs)
+    overall = len(found_8x2 & set(exact_pairs)) / len(exact_pairs)
+    assert abs(overall - expected) <= 0.12, (overall, expected)
+
+
 def test_simhash_blocking_is_complete(spark, corpus):
     """Blocked pairs == brute-force all-pairs Hamming filter: the 4x15-bit
     pigeonhole blocking loses NOTHING at max_hamming <= 3."""
