@@ -372,6 +372,123 @@ def probe_embedding(spark, n_vectors: int) -> dict:
     }
 
 
+def probe_embedding_ivf(spark, n_vectors: int) -> dict:
+    """Wide-angle embedding dedup THROUGH THE ROUTED IVF PATH (r7
+    verdict task 4): threshold 0.45 — the regime where _lsh_params
+    refuses (sign-LSH would need ~10^3 tables) and the auto-route now
+    picks the IVF-clustered blocker.
+
+    Corpus design (all Spark-side, hash-seeded):
+    * d=128: at lower dims a 500k corpus has ~10^8 ACCIDENTAL pairs at
+      cosine 0.45 (random-pair cosine sd ~ 1/sqrt(d)), which would make
+      the output corpus-sized regardless of blocker quality.
+    * topical structure (n/500 topics, member noise sigma=1.6): the
+      cluster structure the IVF codebook exploits; typical intra-topic
+      member cosine ~0.28 — BELOW threshold, so topic mass itself does
+      not flood the output.
+    * 2% planted dups at cosine ~0.55 (v = u + 0.9g): the ground truth;
+      each planted pair's true cosine is computed exactly and only
+      pairs genuinely >= threshold count toward recall.
+    """
+    import time as _t
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import dedup
+    from hbase_tohdfs_spark.operators.similarity import _dot_expr, _norm_expr
+
+    dim, threshold = 128, 0.45
+    n_topics = max(8, n_vectors // 500)
+    n_dup = n_vectors // 50
+    n_base = n_vectors - n_dup
+    topic_vec = (
+        f"transform(sequence(0, {dim - 1}), i ->"
+        " pmod(hash(topic * 131 + 7, i), 1000000) / 1000000.0 - 0.5)"
+    )
+    member_noise = (
+        f"transform(sequence(0, {dim - 1}), i ->"
+        " pmod(hash(vec_id * 37 + 5, i + 200), 1000000) / 1000000.0 - 0.5)"
+    )
+    dup_noise = (
+        f"transform(sequence(0, {dim - 1}), i ->"
+        " pmod(hash(vec_id * 53 + 13, i + 400), 1000000) / 1000000.0 - 0.5)"
+    )
+    # members: topic + 1.6 * noise (scaled: both uniforms have the same
+    # per-coord variance, so the ratio is what matters)
+    base_expr = f"zip_with({topic_vec}, {member_noise}, (t, m) -> t + 1.6 * m)"
+    emb = (
+        spark.range(n_vectors)
+        .selectExpr(
+            "id AS vec_id",
+            f"pmod(id, {n_topics}) AS topic",
+            f"pmod(id, {n_base}) AS src",
+        )
+        .selectExpr(
+            "vec_id",
+            f"CASE WHEN vec_id < {n_base} THEN {base_expr} ELSE "
+            # dup of base 'src': recompute the base's vector from src's
+            # seeds, then add 0.9 * dup noise -> cosine ~0.55
+            f"zip_with("
+            f"  zip_with(transform(sequence(0, {dim - 1}), i ->"
+            "     pmod(hash(pmod(src, " + str(n_topics) + ") * 131 + 7, i), 1000000) / 1000000.0 - 0.5),"
+            f"   transform(sequence(0, {dim - 1}), i ->"
+            "     pmod(hash(src * 37 + 5, i + 200), 1000000) / 1000000.0 - 0.5),"
+            "   (t, m) -> t + 1.6 * m),"
+            f"  {dup_noise}, (b, n) -> b + 2.87 * n) END AS embedding",
+        )
+    )
+    # 2.87 = sqrt((1/0.55^2 - 1) * (1 + 1.6^2)): per-coord variances are
+    # equal across the hash-uniform draws, so cos(base, base + c*noise)
+    # = 1/sqrt(1 + c^2/(1+1.6^2)) — c=2.87 plants pairs at cosine ~0.55.
+    planted = (
+        emb.filter(f"vec_id >= {n_base}")
+        .selectExpr(f"pmod(vec_id, {n_base}) AS id_a", "vec_id AS id_b", "embedding AS vb")
+        .join(emb.selectExpr("vec_id AS id_a", "embedding AS va"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot_expr("va", "vb") / (_norm_expr("va") * _norm_expr("vb"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    n_gt = planted.count()
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        t0 = _t.perf_counter()
+        pairs = dedup.embedding_dup_pairs(
+            emb, threshold=threshold, max_exact_vectors=10_000
+        ).persist()
+        n_pairs = pairs.count()
+        op_sec = _t.perf_counter() - t0
+    hits = pairs.join(
+        planted,
+        (pairs.vec_id_a == planted.id_a) & (pairs.vec_id_b == planted.id_b),
+        "left_semi",
+    ).count()
+    pairs.unpersist()
+    planted.unpersist()
+    routed = any("ivf" in str(w.message) for w in caught)
+    return {
+        "probe": f"embedding_ivf_{n_vectors}",
+        "n_vectors": n_vectors,
+        "dim": dim,
+        "threshold": threshold,
+        "n_topics": n_topics,
+        "routed_to_ivf": routed,
+        "planted_pairs_above_threshold": n_gt,
+        "recalled_pairs": hits,
+        "recall": round(hits / n_gt, 4) if n_gt else None,
+        "pairs_out": n_pairs,
+        "operator_sec": round(op_sec, 2),
+    }
+
+
 def probe_streaming(spark, n_rows: int) -> dict:
     """Streaming-twin throughput at replicated input sizes: the sf0.1
     events table (100k rows) is tiled to ``n_rows`` with fresh event
@@ -539,6 +656,10 @@ def main() -> None:
     if which in ("embedding", "all"):
         print(json.dumps(probe_embedding(spark, 1_200_000)))
         print(json.dumps(probe_embedding(spark, 2_400_000)))
+    if which in ("embedding_ivf", "all"):
+        print(json.dumps(probe_embedding_ivf(spark, 500_000)))
+    if which == "embedding_ivf_smoke":
+        print(json.dumps(probe_embedding_ivf(spark, 20_000)))
     if which in ("streaming", "all"):
         print(json.dumps(probe_streaming(spark, 1_000_000)))
         print(json.dumps(probe_streaming(spark, 4_000_000)))
