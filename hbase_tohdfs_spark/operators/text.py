@@ -295,13 +295,23 @@ def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     explode's map-side partial agg collapses the ``window``-fold row
     fan-out back to ~n_shingles rows before the shuffle, because a
     doc's exploded rows never leave their input partition.  md5 runs
-    once per shingle BELOW the Generate, so the explode copies a
-    32-char digest instead of re-hashing (the CMS/Bloom digest-placement
+    once per shingle BELOW the Generate, so the explode copies the
+    derived value instead of re-hashing (the CMS/Bloom digest-placement
     move).
 
-    Scale: 2 generators (no shuffle), one hash-partitioned aggregation
-    on (doc_id, wid), then the distinct+summary aggregation pair over
-    the already-shrunk fingerprint rows.  No sort anywhere.
+    The shingle hash is the repo-standard 60-bit BIGINT slice of md5
+    (same formula as token_hash_expr), NOT the hex string: ``min`` over
+    a STRING column cannot use HashAggregateExec (string agg buffers
+    aren't mutable), so Spark silently planned SortAggregate — a sort
+    of the full exploded stream on (doc_id, wid) — for both this
+    formulation and the window one, which is why the r8 A/B measured
+    them identical.  min(BIGINT) hash-aggregates; plan audited
+    sort-free.  Winnowing guarantees hold for any hash family;
+    60 bits make collisions negligible at any per-window set size.
+
+    Scale: 2 generators (no shuffle), one hash-partitioned codegen
+    aggregation on (doc_id, wid), then the distinct+summary aggregation
+    pair over the already-shrunk fingerprint rows.  No sort anywhere.
     """
     sh = shingle_docs(docs, k)
     hashed = (
@@ -311,7 +321,14 @@ def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
             F.posexplode_outer("sh").alias("pos", "shingle"),
         )
         .filter(F.col("shingle").isNotNull())
-        .select("doc_id", "max_pos", "pos", F.md5("shingle").alias("h"))
+        .select(
+            "doc_id",
+            "max_pos",
+            "pos",
+            F.expr(
+                "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"
+            ).alias("h"),
+        )
     )
     wids = hashed.select(
         "doc_id",

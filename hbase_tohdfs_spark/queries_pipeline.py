@@ -627,7 +627,9 @@ FINGERPRINTS_ORACLE = f"""
     {_SH_CTE},
     exploded AS (SELECT doc_id, unnest(s) AS shingle,
                         generate_subscripts(s, 1) AS pos FROM sh),
-    hashed AS (SELECT doc_id, pos, md5(shingle) AS h FROM exploded),
+    hashed AS (SELECT doc_id, pos,
+                      ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+               FROM exploded),
     winmin AS (SELECT doc_id,
                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
                                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp

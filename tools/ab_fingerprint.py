@@ -21,11 +21,23 @@ from pyspark.sql import DataFrame, Window
 
 
 def fingerprint_window(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
-    """The pre-r8 window-function formulation, verbatim (A side)."""
+    """The pre-r8 window-function formulation (A side) — hash updated to
+    the shipped 60-bit BIGINT so the equality check stays type-valid.
+
+    History: with md5 STRING hashes both formulations measured identical
+    (0.97x at 1M, 0.98x at 4M) because min(string) forced SortAggregate
+    in the explode form too; the BIGINT switch is what unlocked the
+    hash-agg plan."""
     from hbase_tohdfs_spark.operators.text import explode_shingles, shingle_docs
 
     exploded = explode_shingles(shingle_docs(docs, k))
-    hashed = exploded.select("doc_id", "pos", F.md5("shingle").alias("h"))
+    hashed = exploded.select(
+        "doc_id",
+        "pos",
+        F.expr(
+            "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    )
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
