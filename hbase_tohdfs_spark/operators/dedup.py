@@ -1059,6 +1059,23 @@ def _embedding_dup_pairs_ivf(
     num_cells = min(num_cells, n)
     probes = max(1, min(probes, num_cells))
 
+    def _l2_normalized(frame: DataFrame) -> DataFrame:
+        # Spherical k-means (ADVICE r8): probe assignment ranks cells by
+        # COSINE of L2-normalized vectors, so the codebook must be
+        # trained in the same geometry — unnormalized squared-Euclidean
+        # training on a corpus with heterogeneous vector norms would
+        # place centroids by magnitude, not direction, silently
+        # degrading candidate recall.
+        norm = F.sqrt(
+            F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+        )
+        return frame.select(
+            "vec_id",
+            F.transform(
+                "v", lambda x: x / F.greatest(norm, F.lit(1e-12))
+            ).alias("v"),
+        )
+
     # Deterministic hash-sample for training: the codebook only needs to
     # see the corpus' cluster structure, not every row.  Training ids
     # are hash-SCRAMBLED: kmeans_train seeds from the k lowest ids, and
@@ -1073,12 +1090,19 @@ def _embedding_dup_pairs_ivf(
         train = train.filter(
             F.crc32(F.col("vec_id").cast("string")) % m == 0
         )
-    train = train.select(
-        F.crc32(F.col("vec_id").cast("string")).alias("vec_id"), "v"
+    train = _l2_normalized(
+        train.select(
+            F.crc32(F.col("vec_id").cast("string")).alias("vec_id"), "v"
+        )
     )
     cents, _ = kmeans_train(
         train, k=num_cells, iters=iters, vec_col="v", id_col="vec_id"
     )
+    # The crc32-sampled training frame can hold fewer than num_cells
+    # rows (tiny corpora, aggressive sampling) — kmeans_train then
+    # returns fewer centroids, and an unclamped probe width would make
+    # np.argpartition(-sims, p-1) raise IndexError mid-job (ADVICE r8).
+    probes = max(1, min(probes, len(cents)))
 
     def assign_batches(batches):
         import numpy as np
@@ -1123,7 +1147,7 @@ def embedding_dup_pairs(
     block_size: int = 1024,
     method: str | None = None,
     max_exact_vectors: int = EMBED_EXACT_MAX_VECTORS,
-    target_recall: float = 0.99,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold — blocked matrix
     products.
@@ -1160,9 +1184,22 @@ def embedding_dup_pairs(
     ``method="lsh"`` still RAISES with the achievable recall rather
     than silently under-delivering; ``method="ivf"`` forces the
     clustered path at any size/threshold.
+
+    ``target_recall`` is ENFORCED only on the lsh route (it sizes the
+    table count).  The ivf route cannot enforce any recall target —
+    its recall rides on the corpus' cluster structure — so when the
+    caller EXPLICITLY passes ``target_recall`` > 0.9 and the auto-route
+    finds sign-LSH unreachable, the operator RAISES instead of silently
+    substituting an unenforceable approximation (ADVICE r8); pass
+    ``method="ivf"`` to acknowledge data-dependent recall, or
+    ``method="exact"`` to insist on the grid.  Leaving ``target_recall``
+    unset (None -> 0.99 for lsh sizing) keeps the warn-and-route
+    fallback.
     """
     import pandas as pd
 
+    requested_recall = target_recall
+    target_recall = 0.99 if target_recall is None else target_recall
     if method not in (None, "exact", "lsh", "ivf"):
         raise ValueError(f"unknown method {method!r}")
     if method == "lsh":
@@ -1194,17 +1231,33 @@ def embedding_dup_pairs(
         except ValueError:
             # Wide-angle regime: sign-LSH cannot reach target_recall at
             # any sane table count (r7 verdict task 4) — route to the
-            # IVF-clustered blocker instead of erroring out.
+            # IVF-clustered blocker instead of erroring out.  But if the
+            # caller EXPLICITLY demanded a high recall, substituting a
+            # route that cannot enforce ANY target would silently ignore
+            # their contract — raise and make the decision theirs
+            # (ADVICE r8).
+            if requested_recall is not None and requested_recall > 0.9:
+                raise ValueError(
+                    f"embedding_dup_pairs: target_recall="
+                    f"{requested_recall} was explicitly requested, but "
+                    f"sign-LSH cannot reach it at threshold {threshold} "
+                    f"for {n} vectors, and the ivf fallback's recall is "
+                    "data-dependent (cluster structure), not "
+                    'parameter-guaranteed. Pass method="ivf" to accept '
+                    'that, method="exact" for the O(n^2) grid, or lower '
+                    "target_recall."
+                )
             route, routed = "ivf", (
                 lambda: _embedding_dup_pairs_ivf(
                     embeddings, threshold, round_to
                 )
             )
             detail = (
-                "IVF-clustered candidates; recall rides on the corpus' "
-                "cluster structure (measured on planted corpora, NOT "
-                "parameter-guaranteed — uniform-random corpora need "
-                'method="exact")'
+                "IVF-clustered candidates; the (default) "
+                f"target_recall={target_recall} is UNENFORCED on this "
+                "route — recall rides on the corpus' cluster structure "
+                "(measured on planted corpora, NOT parameter-guaranteed "
+                '— uniform-random corpora need method="exact")'
             )
         msg = (
             f"embedding_dup_pairs: {n} vectors exceed the "

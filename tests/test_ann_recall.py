@@ -192,6 +192,51 @@ def test_lsh_params_refuse_unreachable_recall(spark):
     emb.unpersist()
 
 
+def test_explicit_high_target_recall_blocks_ivf_fallback(spark):
+    """ADVICE r8: the warn-and-route IVF fallback cannot enforce ANY
+    recall target, so an EXPLICIT target_recall > 0.9 must surface as a
+    raise (the caller stated a contract the route can't honor), while
+    the unset default keeps the warn-and-route behavior."""
+    import pytest
+
+    from hbase_tohdfs_spark.operators import dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 1.0]) for i in range(40)],
+        "vec_id: long, embedding: array<double>",
+    )
+    with pytest.raises(ValueError, match="explicitly requested"):
+        dedup.embedding_dup_pairs(
+            emb, threshold=0.45, max_exact_vectors=10, target_recall=0.99
+        )
+    # unset target still warn-routes, and the warning says the default
+    # target is unenforced on the ivf route
+    with pytest.warns(UserWarning, match="UNENFORCED"):
+        dedup.embedding_dup_pairs(
+            emb, threshold=0.45, max_exact_vectors=10
+        )
+
+
+def test_ivf_probe_clamp_small_codebook(spark, monkeypatch):
+    """ADVICE r8: a crc32-sampled training frame can yield fewer rows
+    than num_cells; kmeans_train then returns a smaller codebook and an
+    unclamped probe width would IndexError inside argpartition.  Force
+    that regime with a tiny train cap and require a clean run."""
+    from hbase_tohdfs_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_IVF_TRAIN_CAP", 4)
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    # must not raise even though the sampled codebook is smaller than
+    # the default probe width (8)
+    dedup.embedding_dup_pairs(emb, threshold=0.45, method="ivf").collect()
+
+
 def test_ivf_route_recall_wide_angle(spark):
     """The wide-angle regime the IVF route exists for (r7 verdict task
     4): a TOPICAL corpus (the structure real embedding corpora have)

@@ -72,6 +72,20 @@ def test_gate_degraded_refuses_only_when_required(capsys):
     assert "refusing" in capsys.readouterr().err
 
 
+def test_probe_calibration_refuses_cleanly_on_sf_mismatch(
+    monkeypatch, capsys
+):
+    # ADVICE r8: a non-sf0.1 SPARK_GRAFT_SF_DIR used to make calibrate's
+    # import-level SystemExit kill the close-out mid-flight with no gate
+    # decision.  probe_calibration must catch it, point the operator at
+    # --skip-calibration, and return a distinct refusal code.
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    rc = close_round.probe_calibration(require_healthy=False)
+    assert rc == 4
+    err = capsys.readouterr().err
+    assert "--skip-calibration" in err and "calibrated" in err
+
+
 def test_vm_health_note_wording():
     note = bench.vm_health_note(0.21)
     assert "HEALTHY" in note and "DEGRADED" not in note

@@ -75,6 +75,37 @@ def calibration_gate(factor: float, require_healthy: bool) -> int | None:
     return None
 
 
+def probe_calibration(require_healthy: bool) -> int | None:
+    """Run the min-of-4 probe; None to proceed, an exit code to refuse.
+
+    vm_calibrate.calibrate refuses (SystemExit) when SPARK_GRAFT_SF_DIR
+    points at a non-sf0.1 dir — its floor is sf-specific.  Catch that
+    and refuse the close-out CLEANLY with a pointer to
+    --skip-calibration instead of dying on an import-level guard with
+    no gate decision (ADVICE r8).
+    """
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import vm_calibrate
+
+    try:
+        runs, factor, verdict = vm_calibrate.calibrate(4)
+    except SystemExit as exc:
+        print(
+            f"close_round: calibration probe refused: {exc}\n"
+            "close_round: pass --skip-calibration to close out without "
+            "a host-health probe (e.g. when SPARK_GRAFT_SF_DIR is not "
+            "the calibrated sf0.1)",
+            file=sys.stderr,
+        )
+        return 4
+    print(
+        f"\n=== close_round calibration: tpch_q6 {runs} -> min "
+        f"{min(runs):.2f}s = {factor:.1f}x healthy floor -> {verdict}",
+        flush=True,
+    )
+    return calibration_gate(factor, require_healthy)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("round", type=int)
@@ -126,16 +157,7 @@ def main() -> int:
     # the exact bench protocol; the same floor also annotates every
     # bench line via bench.vm_health_note.
     if not args.skip_calibration:
-        sys.path.insert(0, os.path.join(REPO, "tools"))
-        import vm_calibrate
-
-        runs, factor, verdict = vm_calibrate.calibrate(4)
-        print(
-            f"\n=== close_round calibration: tpch_q6 {runs} -> min "
-            f"{min(runs):.2f}s = {factor:.1f}x healthy floor -> {verdict}",
-            flush=True,
-        )
-        rc = calibration_gate(factor, args.require_healthy)
+        rc = probe_calibration(args.require_healthy)
         if rc is not None:
             return rc
 
