@@ -301,6 +301,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int = NGRAM_MAX_DF,
     prefix_filter: bool = False,
+    length_filter: bool = True,
 ) -> DataFrame:
     """Exact all-pairs word-k-gram Jaccard — the set-similarity-join
     family (SSJoin, Chaudhuri et al. ICDE'06; PPJoin, Xiao et al.
@@ -333,6 +334,19 @@ def ngram_jaccard_pairs(
     long documents (thousands of shingles) and/or high thresholds —
     which is when ``prefix_filter=True`` should be passed.
 
+    * **length filter** (``length_filter=True``, the default on both
+      paths): J = i/(na+nb−i) with i ≤ min(na,nb) gives J ≤
+      min(na,nb)/max(na,nb), so a pair whose sizes differ by more than
+      the threshold ratio can never qualify — pruned INSIDE the index
+      join (the sizes ride on the postings rows; the predicate costs
+      nothing and cuts join output before the pair-count aggregation).
+      The bound is slackened by 5e-5 because the emitted jaccard is
+      rounded to 4 decimals before the ``>= threshold`` filter — output
+      stays row-identical to the unfiltered join (asserted by tests on
+      a length-varied corpus).  On uniform-length corpora it prunes
+      nothing and costs nothing; on real corpora (web docs: heavy-tailed
+      lengths) it is the cheapest of the three prunings.
+
     Both paths are pure JVM codegen; shuffles are keyed on shingle /
     doc_id.
     """
@@ -355,13 +369,26 @@ def ngram_jaccard_pairs(
         4,
     )
 
+    # Rounded-jaccard-aware size-ratio bound (see docstring): prune a
+    # pair only when even round(min/max, 4) cannot reach the threshold.
+    def _length_cond(cond):
+        if not length_filter:
+            return cond
+        return cond & (
+            F.least(F.col("a.n_full"), F.col("b.n_full"))
+            >= F.lit(threshold - 5e-5)
+            * F.greatest(F.col("a.n_full"), F.col("b.n_full"))
+        )
+
     if not prefix_filter:
         a, b = postings.alias("a"), postings.alias("b")
         inter = (
             a.join(
                 b,
-                (F.col("a.s") == F.col("b.s"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+                _length_cond(
+                    (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                ),
             )
             .groupBy(
                 F.col("a.doc_id").alias("doc_id_a"),
@@ -400,13 +427,15 @@ def ngram_jaccard_pairs(
         <= F.col("n_rare")
         - F.ceil(F.lit(threshold) * F.col("n_full") - F.lit(1e-9))
         + 1
-    ).select("doc_id", "s")
+    ).select("doc_id", "n_full", "s")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            _length_cond(
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")

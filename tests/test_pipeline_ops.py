@@ -192,6 +192,42 @@ def test_ngram_jaccard_ppjoin_matches_plain_index(spark):
         assert got_f  # sanity: some pair survives at every tested threshold
 
 
+def test_ngram_jaccard_length_filter_is_lossless(spark):
+    """The size-ratio prune (length_filter=True, the default) must be
+    row-identical to the unfiltered join on a LENGTH-VARIED corpus —
+    the regime where it actually prunes — at several thresholds and on
+    both the plain and the prefix path.  The corpus plants prefixes of
+    one long document (size ratios spanning both sides of each tested
+    threshold, including pairs near the rounded-jaccard boundary)."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"tok{i}" for i in range(60)]
+    base = [vocab[rng.randrange(60)] for _ in range(40)]
+    rows = []
+    # prefixes of the same doc: sizes 4..40 — contained pairs whose
+    # jaccard EQUALS the size ratio, exercising the bound's boundary
+    for i, n_tok in enumerate(range(4, 41, 4)):
+        rows.append((i, " ".join(base[:n_tok])))
+    # unrelated docs of varied lengths
+    for j in range(10):
+        toks = [vocab[rng.randrange(60)] for _ in range(3 + 4 * j)]
+        rows.append((100 + j, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        for pf in (False, True):
+            on = dedup.ngram_jaccard_pairs(
+                docs, k=2, threshold=t, prefix_filter=pf, length_filter=True
+            )
+            off = dedup.ngram_jaccard_pairs(
+                docs, k=2, threshold=t, prefix_filter=pf, length_filter=False
+            )
+            got_on = sorted(map(tuple, on.collect()))
+            got_off = sorted(map(tuple, off.collect()))
+            assert got_on == got_off, (t, pf, got_on, got_off)
+        assert got_on  # sanity: the corpus produces pairs at every t
+
+
 def test_embedding_dup_pairs_blocked_matches_naive(spark):
     import itertools
     import math

@@ -169,6 +169,121 @@ def probe_ngram(spark, n_docs: int) -> dict:
     }
 
 
+def probe_ngram_ab(spark, n_docs: int, rounds: int = 2) -> dict:
+    """r8-verdict task 1: measure what each SSJoin pruning buys at 1M
+    docs on a LENGTH-VARIED corpus (the regime where the size-ratio and
+    prefix bounds actually bite — real web corpora are heavy-tailed in
+    length; the uniform-length probe_ngram corpus can't show this).
+
+    Corpus: 5%% planted exact dups, 2 boilerplate tokens (df-cap food),
+    4..28 content tokens per doc from a 400k vocabulary.  Measures the
+    CANDIDATE volume (the index join's real output before verification)
+    for plain / plain+length / prefix / prefix+length, plus interleaved
+    min-of-N operator wall for plain vs plain+length (only the ratio is
+    host-noise-safe), and asserts all variants emit the same pair count.
+    """
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import dedup
+    from hbase_tohdfs_spark.operators.text import shingle_docs
+
+    threshold = 0.5
+    n_uniq = n_docs - n_docs // 20
+    docs = spark.range(n_docs).selectExpr(
+        "id as doc_id", f"pmod(id, {n_uniq}) as src"
+    ).selectExpr(
+        "doc_id",
+        # varied length: 4 + hash(src) % 25 content tokens -> 4..28
+        "concat_ws(' ', 'the', 'data', transform("
+        " sequence(0, 3 + pmod(hash(src, 11), 25)), i ->"
+        " concat('w', pmod(hash(src * 13 + 7, i), 400000)))) as text",
+    )
+
+    # ---- candidate counts: mirror the operator's posting construction
+    sets = (
+        shingle_docs(docs, 2)
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.array_distinct("sh").alias("shset"))
+    )
+    postings = sets.select(
+        "doc_id", F.size("shset").alias("n_full"), F.explode("shset").alias("s")
+    )
+    dfc = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    postings = postings.join(
+        dfc.filter(F.col("df") <= dedup.NGRAM_MAX_DF), "s"
+    ).persist()
+
+    def join_count(frame, with_length: bool) -> int:
+        a, b = frame.alias("a"), frame.alias("b")
+        cond = (F.col("a.s") == F.col("b.s")) & (
+            F.col("a.doc_id") < F.col("b.doc_id")
+        )
+        if with_length:
+            cond = cond & (
+                F.least(F.col("a.n_full"), F.col("b.n_full"))
+                >= F.lit(threshold - 5e-5)
+                * F.greatest(F.col("a.n_full"), F.col("b.n_full"))
+            )
+        return a.join(b, cond).count()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = postings.select(
+        "doc_id",
+        "n_full",
+        "s",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_rare"),
+    )
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("n_rare")
+        - F.ceil(F.lit(threshold) * F.col("n_full") - F.lit(1e-9))
+        + 1
+    ).select("doc_id", "n_full", "s").persist()
+
+    cand = {
+        "plain": join_count(postings, False),
+        "plain_length": join_count(postings, True),
+        "prefix": join_count(prefix, False),
+        "prefix_length": join_count(prefix, True),
+    }
+    prefix.unpersist()
+    postings.unpersist()
+
+    # ---- interleaved operator wall: plain vs plain+length
+    walls: dict[str, list[float]] = {"filter_off": [], "filter_on": []}
+    pairs_out: dict[str, int] = {}
+    for _ in range(rounds):
+        for key, lf in (("filter_off", False), ("filter_on", True)):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = dedup.ngram_jaccard_pairs(
+                docs, k=2, threshold=threshold, length_filter=lf
+            ).count()
+            walls[key].append(round(time.perf_counter() - t0, 2))
+            pairs_out[key] = n
+    assert pairs_out["filter_off"] == pairs_out["filter_on"], pairs_out
+    return {
+        "probe": f"ngram_ab_{n_docs}",
+        "n_docs": n_docs,
+        "threshold": threshold,
+        "candidates": cand,
+        "length_cut": round(1 - cand["plain_length"] / max(cand["plain"], 1), 4),
+        "prefix_cut": round(1 - cand["prefix"] / max(cand["plain"], 1), 4),
+        "both_cut": round(
+            1 - cand["prefix_length"] / max(cand["plain"], 1), 4
+        ),
+        "pairs_out": pairs_out["filter_on"],
+        "wall_filter_off": walls["filter_off"],
+        "wall_filter_on": walls["filter_on"],
+        "ratio_min_on_over_off": round(
+            min(walls["filter_on"]) / min(walls["filter_off"]), 3
+        ),
+    }
+
+
 def probe_minhash(spark, n_docs: int) -> dict:
     """MinHash+LSH at probe scale: measures the BANDED-BUCKET candidate
     count (the LSH join's real output) vs the all-pairs volume, plus
@@ -648,6 +763,10 @@ def main() -> None:
     if which in ("ngram", "all"):
         print(json.dumps(probe_ngram(spark, 250_000)))
         print(json.dumps(probe_ngram(spark, 1_000_000)))
+    if which == "ngram_ab":
+        print(json.dumps(probe_ngram_ab(spark, 1_000_000)))
+    if which == "ngram_ab_smoke":
+        print(json.dumps(probe_ngram_ab(spark, 50_000, rounds=1)))
     if which in ("minhash", "all"):
         print(json.dumps(probe_minhash(spark, 250_000)))
         print(json.dumps(probe_minhash(spark, 1_000_000)))
