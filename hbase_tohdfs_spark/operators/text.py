@@ -277,7 +277,66 @@ def url_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
+#: rolling-hash base for ``fingerprint(shingle_hash="poly")``: the
+#: shingle hash is a Horner fold of the per-token 60-bit md5 hashes,
+#: base POLY_B, modulus 2^60.  The multiply is computed mod 2^60 via a
+#: 30/30-bit split so every intermediate fits a SIGNED 64-bit integer in
+#: both engines (Spark bigint overflow throws under ANSI; DuckDB BIGINT
+#: overflow always throws): h*B mod 2^60 =
+#: ((h div 2^30)*B mod 2^30)*2^30 + (h mod 2^30)*B, all terms < 2^60,
+#: and the subsequent +token_hash stays < 2^62.  B ~ 2^20 keeps
+#: (h div 2^30)*B < 2^50.  Collision structure: for shingles sharing a
+#: prefix the map from the last token's hash is a bijection mod 2^60,
+#: so 60-bit-family collision odds carry over from the md5 inputs.
+POLY_B = 1_000_003
+_POLY_M = 1 << 60
+_POLY_HALF = 1 << 30
+
+
+def poly_shingle_hashes_sql(token_hashes_col: str, k: int) -> str:
+    """SQL expression: the array of rolling polynomial hashes over every
+    ``k``-window of the 60-bit token-hash array ``token_hashes_col``
+    (1-indexed positions, same layout as ``shingles_expr``).  The k-step
+    Horner fold is unrolled at plan-build time (k is a Python constant).
+    DuckDB replays it verbatim with ``//`` for ``div`` and
+    ``list_transform``/``generate_series`` for ``transform``/``sequence``
+    — see FINGERPRINTS_ORACLE."""
+    h = f"element_at({token_hashes_col}, i)"
+    for j in range(1, k):
+        mul = (
+            f"(pmod(({h}) div {_POLY_HALF} * {POLY_B}, {_POLY_HALF})"
+            f" * {_POLY_HALF} + pmod({h}, {_POLY_HALF}) * {POLY_B})"
+        )
+        h = f"pmod({mul} + element_at({token_hashes_col}, i + {j}), {_POLY_M})"
+    return (
+        f"CASE WHEN size({token_hashes_col}) >= {k} THEN"
+        f" transform(sequence(1, size({token_hashes_col}) - {k - 1}),"
+        f" i -> {h}) ELSE array() END"
+    )
+
+
+def poly_shingle_hashes_duckdb(token_hashes_col: str, k: int) -> str:
+    """The DuckDB replay of ``poly_shingle_hashes_sql`` — same constants,
+    same fold, 1-indexed list access; ``//`` for integer division and
+    plain ``%`` (all operands are non-negative, so ``%`` == ``pmod``).
+    Kept next to the Spark builder so the two can never drift apart;
+    FINGERPRINTS_ORACLE embeds this verbatim."""
+    h = f"{token_hashes_col}[i]"
+    for j in range(1, k):
+        mul = (
+            f"(((({h}) // {_POLY_HALF} * {POLY_B}) % {_POLY_HALF})"
+            f" * {_POLY_HALF} + (({h}) % {_POLY_HALF}) * {POLY_B})"
+        )
+        h = f"(({mul}) + {token_hashes_col}[i + {j}]) % {_POLY_M}"
+    return (
+        f"list_transform(generate_series(1, len({token_hashes_col}) - {k - 1}),"
+        f" i -> {h})"
+    )
+
+
+def fingerprint(
+    docs: DataFrame, k: int = 3, window: int = 4, shingle_hash: str = "poly"
+) -> DataFrame:
     """Document fingerprinting by winnowing (Schleimer et al., SIGMOD'03):
     hash every k-shingle, keep the minimum hash of each sliding window of
     ``window`` shingles, dedupe.  Output: per-doc fingerprint count and
@@ -309,27 +368,67 @@ def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     sort-free.  Winnowing guarantees hold for any hash family;
     60 bits make collisions negligible at any per-window set size.
 
+    ``shingle_hash`` picks the hash family (both 60-bit BIGINT, both
+    oracle-replayable; winnowing's guarantees are hash-agnostic, but the
+    EMITTED VALUES differ, so callers with persisted fingerprints must
+    not mix families):
+
+    * ``"poly"`` (default) — rolling polynomial (Rabin-Karp/Horner,
+      base ``POLY_B`` mod 2^60) over per-TOKEN 60-bit md5 hashes: one
+      md5 per token (k× fewer hashed bytes), no shingle string ever
+      built, then pure codegen integer arithmetic per shingle.  The r8
+      A/B showed winnowing's cost is map-dominated
+      (tokenize+shingle+md5); this attacks exactly that term (r8
+      verdict task 2) — measured 2.10x/2.07x faster than md5 at 1M/4M
+      docs (interleaved min-of-N, SCALE.md r9).
+    * ``"md5"`` — md5 of the concat_ws shingle string.  Map cost: one
+      string alloc + one md5 over ~k tokens' bytes per shingle.  Kept
+      for corpora with persisted md5-family fingerprints.
+
     Scale: 2 generators (no shuffle), one hash-partitioned codegen
     aggregation on (doc_id, wid), then the distinct+summary aggregation
     pair over the already-shrunk fingerprint rows.  No sort anywhere.
     """
-    sh = shingle_docs(docs, k)
-    hashed = (
-        sh.select(
+    if shingle_hash == "poly":
+        th = with_tokens(docs).select(
             "doc_id",
-            (F.size("sh") - 1).alias("max_pos"),
-            F.posexplode_outer("sh").alias("pos", "shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-        .select(
-            "doc_id",
-            "max_pos",
-            "pos",
             F.expr(
-                "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"
-            ).alias("h"),
+                "transform(tokens, t ->"
+                " cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
+            ).alias("th"),
         )
-    )
+        hashed = (
+            th.select(
+                "doc_id",
+                F.expr(poly_shingle_hashes_sql("th", k)).alias("hs"),
+            )
+            .select(
+                "doc_id",
+                (F.size("hs") - 1).alias("max_pos"),
+                F.posexplode_outer("hs").alias("pos", "h"),
+            )
+            .filter(F.col("h").isNotNull())
+        )
+    elif shingle_hash == "md5":
+        sh = shingle_docs(docs, k)
+        hashed = (
+            sh.select(
+                "doc_id",
+                (F.size("sh") - 1).alias("max_pos"),
+                F.posexplode_outer("sh").alias("pos", "shingle"),
+            )
+            .filter(F.col("shingle").isNotNull())
+            .select(
+                "doc_id",
+                "max_pos",
+                "pos",
+                F.expr(
+                    "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"
+                ).alias("h"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
     wids = hashed.select(
         "doc_id",
         F.explode(

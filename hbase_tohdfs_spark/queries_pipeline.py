@@ -622,18 +622,24 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_t(spark, sf_dir, "documents"), k=3, window=4)
 
 
+# Replays fingerprint(shingle_hash="poly"): per-token 60-bit md5 hashes,
+# then the SAME Horner fold (text.poly_shingle_hashes_duckdb embeds the
+# same constants as the Spark builder — single source of truth).
 FINGERPRINTS_ORACLE = f"""
     WITH {_TOKS_CTE},
-    {_SH_CTE},
-    exploded AS (SELECT doc_id, unnest(s) AS shingle,
-                        generate_subscripts(s, 1) AS pos FROM sh),
-    hashed AS (SELECT doc_id, pos,
-                      ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
-               FROM exploded),
+    th_t AS (SELECT doc_id,
+                    list_transform(t, x ->
+                      ('0x' || substr(md5(x), 1, 15))::BIGINT) AS th
+             FROM toks WHERE len(t) >= 3),
+    hs AS (SELECT doc_id,
+                  {text.poly_shingle_hashes_duckdb('th', 3)} AS hsa
+           FROM th_t),
+    exploded AS (SELECT doc_id, unnest(hsa) AS h,
+                        generate_subscripts(hsa, 1) AS pos FROM hs),
     winmin AS (SELECT doc_id,
                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
                                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
-               FROM hashed),
+               FROM exploded),
     fps AS (SELECT DISTINCT doc_id, fp FROM winmin)
     SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fingerprint
     FROM fps GROUP BY doc_id

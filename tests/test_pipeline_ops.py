@@ -363,6 +363,66 @@ def test_fingerprint_stability(docs):
     b = {r["doc_id"]: r["min_fingerprint"] for r in text.fingerprint(docs).collect()}
     assert a == b
     assert a[1] == a[2]  # identical docs -> identical fingerprints
+    # both hash families cover the same doc set (>= k tokens), and the
+    # md5 family keeps its own stability guarantees
+    m = {
+        r["doc_id"]: r["min_fingerprint"]
+        for r in text.fingerprint(docs, shingle_hash="md5").collect()
+    }
+    assert set(m) == set(a)
+    assert m[1] == m[2]
+    import pytest
+
+    with pytest.raises(ValueError, match="shingle_hash"):
+        text.fingerprint(docs, shingle_hash="sha1")
+
+
+def test_fingerprint_poly_matches_duckdb_replay(spark):
+    """The rolling-polynomial shingle hash must be replayable VERBATIM
+    in DuckDB (the oracle contract): same per-token 60-bit md5 slice,
+    same Horner fold from poly_shingle_hashes_duckdb — value-level
+    equality, not just structure.  Pins the 30/30-bit split multiply
+    against engine overflow/precedence drift."""
+    import duckdb
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different content here with many more tokens"),
+        (4, "ab cd"),  # < k tokens -> drops out in both engines
+        (5, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_fingerprints"], r["min_fingerprint"])
+        for r in text.fingerprint(d, k=3, window=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS v(doc_id, text)"
+    )
+    sql = f"""
+    WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+         FROM docs),
+    th_t AS (SELECT doc_id, list_transform(t, x ->
+               ('0x' || substr(md5(x), 1, 15))::BIGINT) AS th
+             FROM toks WHERE len(t) >= 3),
+    hs AS (SELECT doc_id, {text.poly_shingle_hashes_duckdb('th', 3)} AS hsa
+           FROM th_t),
+    exploded AS (SELECT doc_id, unnest(hsa) AS h,
+                        generate_subscripts(hsa, 1) AS pos FROM hs),
+    winmin AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+               FROM exploded),
+    fps AS (SELECT DISTINCT doc_id, fp FROM winmin)
+    SELECT doc_id, count(*), min(fp) FROM fps GROUP BY doc_id ORDER BY doc_id
+    """
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want
 
 
 def test_repetition_signals_hand_computed(spark):
