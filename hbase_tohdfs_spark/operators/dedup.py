@@ -571,6 +571,7 @@ def connected_components(
     b_col: str = "doc_id_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    hops: int = 3,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: ``(doc_id, component)``
     with component = min doc_id of the connected component.
@@ -578,12 +579,17 @@ def connected_components(
     This is the step that turns pairwise similarity into dedup *groups*
     (keep one doc per component).  Min-label propagation with **path
     halving** — each round every vertex takes the min of its own and its
-    neighbors' labels (one keyed join + agg), then jumps one level down
-    the label chain (``component <- component(component)``, one more
-    keyed join).  The jump doubles the distance a min travels per round,
-    so fixpoint lands in O(log diameter) rounds instead of O(diameter)
-    — a 100-node chain converges in ~8 rounds, not 100.  The driver-side
-    loop carries only the changed-count, never data.
+    neighbors' labels (one keyed join + agg), then jumps ``hops`` levels
+    down the label chain (``component <- component(component)``, one
+    keyed self-join per hop, all inside the same round's plan — no
+    extra checkpoint or count action).  Each jump halves the remaining
+    label-chain depth, so fixpoint lands in ~log2(diameter)/hops rounds
+    instead of O(diameter).  ``hops=3`` (default) was chosen by
+    interleaved A/B on the 1M-edge deep-chain probe (diameter 10^5):
+    18 -> 8 rounds, 1.8x faster than hops=1; on shallow graphs (near-dup
+    corpora converge by round 2) the jump never fires and the setting
+    is execution-identical (r8 verdict task 4, SCALE.md r9).  The
+    driver-side loop carries only the changed-count, never data.
 
     Lineage discipline: each round's labels are ``localCheckpoint``-ed,
     not merely persisted.  The pointer-jump is a self-join, so an
@@ -660,19 +666,33 @@ def connected_components(
                 # would be a pure extra shuffle there; from round 3 on, still
                 # being unconverged means a deep chain, where halving turns the
                 # remaining O(diameter) rounds into O(log diameter).
+                # ``hops`` pointer jumps per round (r8 verdict task 4):
+                # each jump is one more keyed self-join INSIDE the same
+                # round — no extra checkpoint or count action — and each
+                # halves the remaining label-chain depth again, so deep
+                # chains need ~log2(d)/hops rounds.  The extra join only
+                # pays on graphs that are still unconverged past round
+                # 2, i.e. exactly the deep-chain regime.
                 if it >= 2:
-                    ptr = stepped.select(
-                        F.col("lu").alias("plu"), F.col("component").alias("pcomp")
-                    )
-                    new_labels = stepped.join(
-                        ptr, stepped.component == F.col("plu"), "left"
-                    ).select(
-                        "lu",
-                        F.coalesce("pcomp", "component").alias("component"),
-                        (
-                            F.col("chg") | (F.col("pcomp") < F.col("component"))
-                        ).alias("chg"),
-                    )
+                    new_labels = stepped
+                    for _ in range(max(1, hops)):
+                        fa = new_labels.alias("fa")
+                        ptr = new_labels.select(
+                            F.col("lu").alias("plu"),
+                            F.col("component").alias("pcomp"),
+                        )
+                        new_labels = fa.join(
+                            ptr, F.col("fa.component") == F.col("plu"), "left"
+                        ).select(
+                            F.col("fa.lu").alias("lu"),
+                            F.coalesce(
+                                "pcomp", F.col("fa.component")
+                            ).alias("component"),
+                            (
+                                F.col("fa.chg")
+                                | (F.col("pcomp") < F.col("fa.component"))
+                            ).alias("chg"),
+                        )
                 else:
                     new_labels = stepped
                 # localCheckpoint, not persist: the jump is a self-join, so an

@@ -133,6 +133,28 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert stats["rounds"] <= 10
 
 
+def test_connected_components_multihop_same_labels_fewer_rounds(spark):
+    """hops > 1 chains extra pointer jumps inside each round's plan: the
+    fixpoint (min-label per component) is unique, so labels must be
+    IDENTICAL to the 1-hop loop, and a deep chain must converge in
+    strictly fewer rounds (the r9 A/B measured 18 -> 8 rounds, 1.8x,
+    on the 1M-edge diameter-10^5 probe)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "doc_id_a: long, doc_id_b: long"
+    )
+    s1: dict = {}
+    s3: dict = {}
+    got1 = sorted(
+        map(tuple, dedup.connected_components(pairs, stats=s1, hops=1).collect())
+    )
+    got3 = sorted(
+        map(tuple, dedup.connected_components(pairs, stats=s3, hops=3).collect())
+    )
+    assert got1 == got3
+    assert s3["converged"] and s1["converged"]
+    assert s3["rounds"] < s1["rounds"], (s1, s3)
+
+
 def test_connected_components_warns_when_truncated(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "doc_id_a: long, doc_id_b: long"
