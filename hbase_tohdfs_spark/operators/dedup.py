@@ -1033,6 +1033,20 @@ _IVF_TRAIN_CAP = 65536
 #: topical test corpus (40 topics, threshold 0.45, k=44 cells): recall
 #: 0.835 at p=4 -> 0.996 at p=8; verify work grows ~p^2.
 _IVF_PROBES = 8
+#: minimum probe COVERAGE (probes/num_cells) when the caller pins
+#: num_cells explicitly: 1/64 ~ 1.6%.  Measured on the 1000-true-topic
+#: 500k corpus at num_cells=1000: recall 0.861 at coverage 0.8%
+#: (probes=8) vs 0.982 at 1.6% (probes=16) — coverage is the recall
+#: driver even when the codebook aligns with real clusters (SCALE.md
+#: r9), so an explicit num_cells >> 32*probes with the default probe
+#: width would silently under-recall.
+_IVF_MIN_COVERAGE_DEN = 64
+
+
+def _ivf_probes_for(num_cells: int, probes: int) -> int:
+    """Probe width for an EXPLICIT num_cells: at least the requested
+    width, raised to keep coverage >= 1/_IVF_MIN_COVERAGE_DEN."""
+    return max(probes, -(-num_cells // _IVF_MIN_COVERAGE_DEN))
 
 
 def _embedding_dup_pairs_ivf(
@@ -1089,6 +1103,11 @@ def _embedding_dup_pairs_ivf(
         return e.sparkSession.createDataFrame(
             [], "vec_id_a long, vec_id_b long, cosine double"
         )
+    if num_cells is not None:
+        # Explicit codebook size: hold probe coverage at the measured
+        # recall floor instead of letting a large num_cells silently
+        # starve the probe lists (see _IVF_MIN_COVERAGE_DEN).
+        probes = _ivf_probes_for(num_cells, probes)
     if num_cells is None:
         # Two ceilings on the sqrt(n) sizing:
         # * 32*probes keeps the PROBE COVERAGE p/k >= ~3% — the measured
@@ -1197,6 +1216,7 @@ def embedding_dup_pairs(
     method: str | None = None,
     max_exact_vectors: int = EMBED_EXACT_MAX_VECTORS,
     target_recall: float | None = None,
+    num_cells: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold — blocked matrix
     products.
@@ -1234,6 +1254,21 @@ def embedding_dup_pairs(
     than silently under-delivering; ``method="ivf"`` forces the
     clustered path at any size/threshold.
 
+    ``num_cells`` (ivf route only) pins the codebook size.  The default
+    sizing (~sqrt(n), capped at 32*probes for probe coverage) is the
+    blind setting; when the corpus' cluster count is KNOWN — real
+    embedding corpora grow clusters sublinearly (SemDeDup: ~10^4-10^5
+    clusters at 10^8 docs) — pass num_cells ~ that cluster count:
+    verify work drops to ~n^2/num_cells and recall stays FLAT as n
+    grows at fixed cluster count (measured 0.861 -> 0.859 going 500k
+    -> 1M on the 1000-topic probe corpus, SCALE.md r9).  Probe
+    coverage (probes/num_cells) remains the recall driver even when
+    the codebook aligns with real clusters — 0.861 at 0.8% coverage vs
+    0.982 at 1.6% on the same corpus — so an explicit num_cells
+    auto-raises the probe width to keep coverage >= ~1.6%
+    (``_ivf_probes_for``); expect verify work ~ probes^2 * n^2 /
+    num_cells.
+
     ``target_recall`` is ENFORCED only on the lsh route (it sizes the
     table count).  The ivf route cannot enforce any recall target —
     its recall rides on the corpus' cluster structure — so when the
@@ -1256,7 +1291,9 @@ def embedding_dup_pairs(
             embeddings, threshold, round_to, target_recall=target_recall
         )
     if method == "ivf":
-        return _embedding_dup_pairs_ivf(embeddings, threshold, round_to)
+        return _embedding_dup_pairs_ivf(
+            embeddings, threshold, round_to, num_cells=num_cells
+        )
     nb_row = embeddings.selectExpr(
         f"int(ceil(count(*) / {block_size})) AS nb",
         "count(*) AS n",
@@ -1298,7 +1335,7 @@ def embedding_dup_pairs(
                 )
             route, routed = "ivf", (
                 lambda: _embedding_dup_pairs_ivf(
-                    embeddings, threshold, round_to
+                    embeddings, threshold, round_to, num_cells=num_cells
                 )
             )
             detail = (

@@ -237,6 +237,18 @@ def test_ivf_probe_clamp_small_codebook(spark, monkeypatch):
     dedup.embedding_dup_pairs(emb, threshold=0.45, method="ivf").collect()
 
 
+def test_ivf_probes_scale_with_explicit_num_cells():
+    """An explicit num_cells must raise the probe width to hold the
+    measured coverage floor (1/64): recall was 0.861 at 0.8% coverage
+    vs 0.982 at 1.6% on the 1000-true-topic 500k probe (SCALE.md r9)."""
+    from hbase_tohdfs_spark.operators.dedup import _ivf_probes_for
+
+    assert _ivf_probes_for(1000, 8) == 16   # ceil(1000/64)
+    assert _ivf_probes_for(256, 8) == 8     # cap already covers 3%
+    assert _ivf_probes_for(2048, 8) == 32
+    assert _ivf_probes_for(100, 8) == 8     # never lowers the width
+
+
 def test_ivf_route_recall_wide_angle(spark):
     """The wide-angle regime the IVF route exists for (r7 verdict task
     4): a TOPICAL corpus (the structure real embedding corpora have)

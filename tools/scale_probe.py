@@ -487,7 +487,9 @@ def probe_embedding(spark, n_vectors: int) -> dict:
     }
 
 
-def probe_embedding_ivf(spark, n_vectors: int) -> dict:
+def probe_embedding_ivf(
+    spark, n_vectors: int, n_topics: int | None = None, num_cells: int | None = None
+) -> dict:
     """Wide-angle embedding dedup THROUGH THE ROUTED IVF PATH (r7
     verdict task 4): threshold 0.45 — the regime where _lsh_params
     refuses (sign-LSH would need ~10^3 tables) and the auto-route now
@@ -504,6 +506,11 @@ def probe_embedding_ivf(spark, n_vectors: int) -> dict:
     * 2% planted dups at cosine ~0.55 (v = u + 0.9g): the ground truth;
       each planted pair's true cosine is computed exactly and only
       pairs genuinely >= threshold count toward recall.
+
+    ``n_topics`` overrides the default linear topic growth (n/500) —
+    pass a FIXED count to model the realistic sublinear-cluster regime
+    (r8 verdict task 3), together with ``num_cells`` = that count so
+    the codebook matches the true cluster structure.
     """
     import time as _t
     import warnings
@@ -514,7 +521,8 @@ def probe_embedding_ivf(spark, n_vectors: int) -> dict:
     from hbase_tohdfs_spark.operators.similarity import _dot_expr, _norm_expr
 
     dim, threshold = 128, 0.45
-    n_topics = max(8, n_vectors // 500)
+    if n_topics is None:
+        n_topics = max(8, n_vectors // 500)
     n_dup = n_vectors // 50
     n_base = n_vectors - n_dup
     topic_vec = (
@@ -577,7 +585,10 @@ def probe_embedding_ivf(spark, n_vectors: int) -> dict:
         warnings.simplefilter("always")
         t0 = _t.perf_counter()
         pairs = dedup.embedding_dup_pairs(
-            emb, threshold=threshold, max_exact_vectors=10_000
+            emb,
+            threshold=threshold,
+            max_exact_vectors=10_000,
+            num_cells=num_cells,
         ).persist()
         n_pairs = pairs.count()
         op_sec = _t.perf_counter() - t0
@@ -595,6 +606,7 @@ def probe_embedding_ivf(spark, n_vectors: int) -> dict:
         "dim": dim,
         "threshold": threshold,
         "n_topics": n_topics,
+        "num_cells": num_cells,
         "routed_to_ivf": routed,
         "planted_pairs_above_threshold": n_gt,
         "recalled_pairs": hits,
@@ -779,6 +791,17 @@ def main() -> None:
         print(json.dumps(probe_embedding_ivf(spark, 500_000)))
     if which == "embedding_ivf_smoke":
         print(json.dumps(probe_embedding_ivf(spark, 20_000)))
+    if which == "embedding_ivf_1m":
+        # r8 verdict task 3: fixed-cluster (sublinear-growth) regime at
+        # 1M vectors, codebook pinned to the true cluster count; the
+        # 500k run at the same fixed shape gives the verify-work
+        # scaling ratio (model: assignment ~n, verify ~n^2/k).
+        print(json.dumps(
+            probe_embedding_ivf(spark, 500_000, n_topics=1000, num_cells=1000)
+        ))
+        print(json.dumps(
+            probe_embedding_ivf(spark, 1_000_000, n_topics=1000, num_cells=1000)
+        ))
     if which in ("streaming", "all"):
         print(json.dumps(probe_streaming(spark, 1_000_000)))
         print(json.dumps(probe_streaming(spark, 4_000_000)))
