@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hbase_tohdfs_spark.operators import cacheutil
-from hbase_tohdfs_spark.operators.text import shingle_docs, with_tokens
+from hbase_tohdfs_spark.operators.text import (
+    poly_shingle_docs,
+    shingle_docs,
+    with_tokens,
+)
 
 MINHASH_FUNCS = 16
 LSH_BANDS = 4
@@ -69,6 +73,11 @@ MINHASH_BASE_DUCKDB = (
     f" % {MINHASH_PRIME})"
 )
 
+#: DuckDB twin of the ``prehashed=True`` base hash: the shingles are
+#: already 60-bit poly hashes (non-negative), so the base hash is just
+#: the reduction into the Mersenne field — plain ``%`` == ``pmod``.
+MINHASH_BASE_POLY_DUCKDB = f"list_transform(s, x -> x % {MINHASH_PRIME})"
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup on the md5 of the raw text; survivor = lowest doc_id.
@@ -87,18 +96,36 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 3, num_hashes: int = MINHASH_FUNCS
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = MINHASH_FUNCS,
+    shingle_hash: str = "poly",
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of hash_i,
-    where hash_i is the affine rehash of ONE md5-derived base hash per
-    shingle (see ``MINHASH_PRIME``; plan shape in
-    :func:`signatures_from_shingles`).  Docs with no shingles
-    (< k tokens) are excluded, matching the oracle."""
-    return signatures_from_shingles(shingle_docs(docs, k), num_hashes)
+    where hash_i is the affine rehash of ONE base hash per shingle (see
+    ``MINHASH_PRIME``; plan shape in :func:`signatures_from_shingles`).
+    Docs with no shingles (< k tokens) are excluded, matching the
+    oracle.
+
+    ``shingle_hash`` picks the base-hash family (MinHash's guarantees
+    are hash-agnostic, but EMITTED SIGNATURES differ — don't mix
+    families across persisted signature stores): ``"poly"`` (default)
+    hashes each token once and Horner-folds per window — no shingle
+    string, k x fewer md5 bytes (the winnowing r9 map-side form);
+    ``"str"`` md5s the concat_ws shingle string (the pre-r9 family)."""
+    if shingle_hash == "poly":
+        return signatures_from_shingles(
+            poly_shingle_docs(docs, k), num_hashes, prehashed=True
+        )
+    if shingle_hash == "str":
+        return signatures_from_shingles(shingle_docs(docs, k), num_hashes)
+    raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
 
 
 def signatures_from_shingles(
-    sh_docs: DataFrame, num_hashes: int = MINHASH_FUNCS
+    sh_docs: DataFrame,
+    num_hashes: int = MINHASH_FUNCS,
+    prehashed: bool = False,
 ) -> DataFrame:
     """Signatures from a prepared ``(doc_id, sh)`` frame (see
     :func:`~hbase_tohdfs_spark.operators.text.shingle_docs`).  The
@@ -115,17 +142,24 @@ def signatures_from_shingles(
     ties it at 5k docs (SCALE.md).  The groupBy shuffle moves only one
     partial-agg row of num_hashes longs per doc per map partition —
     far smaller than the shingle arrays themselves, so the shape holds
-    at corpus scale.  Signature values are BIGINT in [0, 2^31-1)."""
+    at corpus scale.  Signature values are BIGINT in [0, 2^31-1).
+
+    ``prehashed=True`` declares the ``sh`` elements already 60-bit
+    BIGINT hashes (:func:`~hbase_tohdfs_spark.operators.text.poly_shingle_docs`);
+    the base hash is then just the reduction into the Mersenne field —
+    no md5, no string (DuckDB twin: ``MINHASH_BASE_POLY_DUCKDB``)."""
+    base = (
+        F.expr(f"pmod(s, {MINHASH_PRIME})")
+        if prehashed
+        else F.expr(
+            "cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint)"
+            f" % {MINHASH_PRIME}"
+        )
+    )
     ex = (
         sh_docs.filter(F.size("sh") > 0)
         .select("doc_id", F.explode("sh").alias("s"))
-        .select(
-            "doc_id",
-            F.expr(
-                "cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint)"
-                f" % {MINHASH_PRIME}"
-            ).alias("h"),
-        )
+        .select("doc_id", base.alias("h"))
     )
     aggs = [
         F.min(F.expr(f"({a} * h + {b}) % {MINHASH_PRIME}")).alias(f"mh{i}")
@@ -252,9 +286,22 @@ def minhash_dedup_pairs(
     max_bucket_size: int | None = DEDUP_MAX_BUCKET,
     bands: int = LSH_BANDS,
     rows_per_band: int = LSH_ROWS,
+    shingle_hash: str = "poly",
 ) -> DataFrame:
     """End-to-end near-dup pipeline: MinHash -> LSH candidates (mega-bucket
     capped by default) -> exact Jaccard verification.
+
+    ``shingle_hash="poly"`` (default; see :func:`minhash_signatures`)
+    runs the whole pipeline — signature base hash AND the exact-Jaccard
+    verify sets — on 60-bit poly shingle hashes: the map side never
+    builds a shingle string, pays one md5 per token instead of one per
+    shingle (k x fewer hashed bytes), and the persisted shingle frame +
+    the verify join carry fixed 8-byte BIGINTs instead of strings.
+    Verification over hashed sets equals string-set Jaccard except
+    under a 60-bit collision, and the DuckDB oracle replays the
+    identical hashes, so output is row-identical by construction.
+    ``"str"`` keeps the pre-r9 md5-per-shingle family for persisted
+    signature/pair stores.
 
     ``bands``/``rows_per_band`` tune the banding S-curve to the target
     similarity: candidate probability is 1 - (1 - s^rows)^bands, and the
@@ -276,9 +323,16 @@ def minhash_dedup_pairs(
     OOMing on a big corpus.  The (pair-sized) result is materialized
     eagerly and the intermediates released before returning, so repeated
     calls on a long-lived session don't accumulate executor storage."""
-    sh_docs = shingle_docs(docs, k).persist()
+    if shingle_hash == "poly":
+        sh_docs = poly_shingle_docs(docs, k).persist()
+    elif shingle_hash == "str":
+        sh_docs = shingle_docs(docs, k).persist()
+    else:
+        raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
     sigs = signatures_from_shingles(
-        sh_docs, num_hashes=bands * rows_per_band
+        sh_docs,
+        num_hashes=bands * rows_per_band,
+        prehashed=shingle_hash == "poly",
     ).persist()
     cands = lsh_candidate_pairs(
         sigs,
@@ -302,6 +356,7 @@ def ngram_jaccard_pairs(
     max_df: int = NGRAM_MAX_DF,
     prefix_filter: bool = False,
     length_filter: bool = True,
+    shingle_hash: str = "poly",
 ) -> DataFrame:
     """Exact all-pairs word-k-gram Jaccard — the set-similarity-join
     family (SSJoin, Chaudhuri et al. ICDE'06; PPJoin, Xiao et al.
@@ -347,10 +402,36 @@ def ngram_jaccard_pairs(
       nothing and costs nothing; on real corpora (web docs: heavy-tailed
       lengths) it is the cheapest of the three prunings.
 
+    * **shingle hash** (``shingle_hash="poly"``, the default): the set
+      element is the 60-bit rolling-polynomial hash of the shingle
+      (one md5 per TOKEN + a Horner fold per window — the winnowing r9
+      map-side form, :func:`~hbase_tohdfs_spark.operators.text.poly_shingle_hashes_sql`),
+      not the concat_ws shingle STRING.  The trade: the string family
+      hashes nothing, so poly ADDS one md5 per token on the map side;
+      it pays that back by never materializing a shingle string and by
+      turning all three shuffles (df groupBy + both sides of the
+      postings self-join) and the join sort key from variable-length
+      string to fixed 8-byte BIGINT.  Measured (SCALE.md r9, interleaved
+      min-of-N): 1.8x faster at 1M docs where the index join dominates,
+      0.93x (neutral-win) on the sf0.1 real-document corpus, and ~1.4x
+      SLOWER on a 50k tiny-token synthetic (5-char tokens make the md5
+      dominate the string build it replaces) — pass ``"str"`` for that
+      regime.  Jaccard is then over hashed-shingle sets: identical to
+      string-set Jaccard except under a 60-bit collision (odds
+      ~(distinct shingles)²/2^61; ~2e-6 at 2M distinct), and the DuckDB
+      oracle replays the identical token-hash + fold, so output is
+      row-identical by construction even then.  ``shingle_hash="str"``
+      also serves corpora with persisted string-family pair sets.
+
     Both paths are pure JVM codegen; shuffles are keyed on shingle /
     doc_id.
     """
-    sh_docs = shingle_docs(docs, k).persist()
+    if shingle_hash == "poly":
+        sh_docs = poly_shingle_docs(docs, k).persist()
+    elif shingle_hash == "str":
+        sh_docs = shingle_docs(docs, k).persist()
+    else:
+        raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
     sets = sh_docs.filter(F.size("sh") > 0).select(
         "doc_id", F.array_distinct("sh").alias("shset")
     )

@@ -78,6 +78,30 @@ def shingle_docs(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFra
     )
 
 
+def poly_shingle_docs(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """``(doc_id, sh: array<bigint>)`` — the 60-bit rolling-polynomial
+    hash of every word-k-shingle (one md5 per TOKEN, then a Horner fold
+    per window; see :func:`poly_shingle_hashes_sql` for the constants
+    and the overflow-safe split).  Drop-in sibling of
+    :func:`shingle_docs` for consumers that key on shingle IDENTITY
+    (set joins, MinHash, Jaccard over sets) rather than the string
+    itself: the element is a fixed 8-byte BIGINT, never a materialized
+    shingle string.  DuckDB oracles replay the identical values via
+    :func:`poly_shingle_hashes_duckdb`.  Same empty-array semantics as
+    ``shingle_docs`` for docs with < k tokens."""
+    return (
+        with_tokens(docs, text_col)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(tokens, t ->"
+                " cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
+            ).alias("th"),
+        )
+        .select("doc_id", F.expr(poly_shingle_hashes_sql("th", k)).alias("sh"))
+    )
+
+
 def explode_shingles(sh_docs: DataFrame) -> DataFrame:
     """``(doc_id, pos, shingle)`` via **outer** posexplode.
 
@@ -390,22 +414,12 @@ def fingerprint(
     pair over the already-shrunk fingerprint rows.  No sort anywhere.
     """
     if shingle_hash == "poly":
-        th = with_tokens(docs).select(
-            "doc_id",
-            F.expr(
-                "transform(tokens, t ->"
-                " cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
-            ).alias("th"),
-        )
         hashed = (
-            th.select(
-                "doc_id",
-                F.expr(poly_shingle_hashes_sql("th", k)).alias("hs"),
-            )
+            poly_shingle_docs(docs, k)
             .select(
                 "doc_id",
-                (F.size("hs") - 1).alias("max_pos"),
-                F.posexplode_outer("hs").alias("pos", "h"),
+                (F.size("sh") - 1).alias("max_pos"),
+                F.posexplode_outer("sh").alias("pos", "h"),
             )
             .filter(F.col("h").isNotNull())
         )

@@ -33,12 +33,6 @@ _TOKS_CTE = (
     " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t"
     " FROM documents)"
 )
-_SH_CTE = (
-    "sh AS (SELECT doc_id,"
-    " list_transform(generate_series(1, greatest(len(t) - 2, 0)),"
-    " i -> array_to_string(t[i:i+2], ' ')) AS s"
-    " FROM toks WHERE len(t) >= 3)"
-)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -90,8 +84,14 @@ def _minhash_ctes() -> str:
         for b in range(LSH_BANDS)
     )
     return f"""{_TOKS_CTE},
-    {_SH_CTE},
-    hsed AS (SELECT doc_id, {dedup.MINHASH_BASE_DUCKDB} AS hs FROM sh),
+    th3 AS (SELECT doc_id,
+                   list_transform(t, x ->
+                     ('0x' || substr(md5(x), 1, 15))::BIGINT) AS th
+            FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT doc_id,
+                  {text.poly_shingle_hashes_duckdb('th', 3)} AS s
+           FROM th3),
+    hsed AS (SELECT doc_id, {dedup.MINHASH_BASE_POLY_DUCKDB} AS hs FROM sh),
     sig AS (SELECT doc_id, {mh} FROM hsed),
     bands AS (SELECT doc_id, {band_exprs} FROM sig),
     buckets AS ({buckets}),
@@ -324,7 +324,13 @@ _SH2_CTE = (
 
 NGRAM_JACCARD_ORACLE = f"""
     WITH {_TOKS_CTE},
-    {_SH2_CTE},
+    th_t AS (SELECT doc_id,
+                    list_transform(t, x ->
+                      ('0x' || substr(md5(x), 1, 15))::BIGINT) AS th
+             FROM toks WHERE len(t) >= 2),
+    sh2 AS (SELECT doc_id,
+                   {text.poly_shingle_hashes_duckdb('th', 2)} AS s
+            FROM th_t),
     sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh2),
     sizes AS (SELECT doc_id, len(ss) AS n_sh FROM sets),
     postings AS (SELECT doc_id, unnest(ss) AS s FROM sets),

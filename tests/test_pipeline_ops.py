@@ -84,26 +84,60 @@ def test_minhash_signature_matches_python_replica(spark):
         rows,
         "doc_id: long, text: string, lang: string, source: string, n_chars: long",
     )
-    sh = {
-        r["doc_id"]: r["sh"]
-        for r in shingle_docs(d, 3).collect()
-    }
     p = dedup.MINHASH_PRIME
     coeffs = dedup.minhash_coeffs(dedup.MINHASH_FUNCS)
-    expected = {}
-    for doc_id, shingles in sh.items():
-        base = [
-            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % p
-            for s in shingles
-        ]
-        expected[doc_id] = [
-            min((a * h + b) % p for h in base) for a, b in coeffs
-        ]
-    got = {
+
+    def sigs_from_base(base_by_doc):
+        return {
+            doc_id: [min((a * h + b) % p for h in base) for a, b in coeffs]
+            for doc_id, base in base_by_doc.items()
+        }
+
+    # str family: base = 32-bit md5 slice of the shingle STRING
+    sh = {r["doc_id"]: r["sh"] for r in shingle_docs(d, 3).collect()}
+    expected_str = sigs_from_base(
+        {
+            doc_id: [
+                int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % p
+                for s in shingles
+            ]
+            for doc_id, shingles in sh.items()
+        }
+    )
+    got_str = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(dedup.MINHASH_FUNCS)]
+        for r in dedup.minhash_signatures(d, k=3, shingle_hash="str").collect()
+    }
+    assert got_str == expected_str
+
+    # poly family (the default): base = 60-bit per-token md5 slices
+    # Horner-folded mod 2^60 (replicating text.poly_shingle_hashes_sql's
+    # 30/30-split multiply, which equals plain (h*B + t) % 2^60), then
+    # reduced into the Mersenne field.
+    from hbase_tohdfs_spark.operators.text import POLY_B
+
+    M = 1 << 60
+
+    def poly_base(text):
+        toks = [t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
+        th = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        out = []
+        for i in range(len(th) - 2):
+            h = th[i]
+            for j in (1, 2):
+                h = (h * POLY_B + th[i + j]) % M
+            out.append(h % p)
+        return out
+
+    expected_poly = sigs_from_base(
+        {doc_id: poly_base(text) for doc_id, text, *_ in rows}
+    )
+    got_poly = {
         r["doc_id"]: [r[f"mh{i}"] for i in range(dedup.MINHASH_FUNCS)]
         for r in dedup.minhash_signatures(d, k=3).collect()
     }
-    assert got == expected
+    assert got_poly == expected_poly
+    assert got_poly != got_str  # distinct families by design
 
 
 def test_connected_components_chain_and_pair(spark):
@@ -212,6 +246,40 @@ def test_ngram_jaccard_ppjoin_matches_plain_index(spark):
         got_p = sorted(map(tuple, plain.collect()))
         assert got_f == got_p, f"threshold={t}: {got_f} != {got_p}"
         assert got_f  # sanity: some pair survives at every tested threshold
+
+
+def test_ngram_jaccard_poly_family_matches_str_family(spark):
+    """The default poly-hashed shingle family must emit the same pairs
+    with the same jaccard values as the legacy string family: Jaccard
+    over hashed sets equals Jaccard over string sets whenever the
+    60-bit hash is collision-free on the corpus (guaranteed here), and
+    that must hold on both the plain and the prefix path."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox leaps over a sleepy dog"),
+        (4, "completely unrelated text about spark plans here"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "short doc"),
+        (7, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        for pf in (False, True):
+            poly = dedup.ngram_jaccard_pairs(
+                docs, k=2, threshold=t, prefix_filter=pf, shingle_hash="poly"
+            )
+            legacy = dedup.ngram_jaccard_pairs(
+                docs, k=2, threshold=t, prefix_filter=pf, shingle_hash="str"
+            )
+            got_poly = sorted(map(tuple, poly.collect()))
+            got_str = sorted(map(tuple, legacy.collect()))
+            assert got_poly == got_str, (t, pf, got_poly, got_str)
+        assert got_poly  # sanity: pairs exist at every tested threshold
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shingle_hash"):
+        dedup.ngram_jaccard_pairs(docs, shingle_hash="bogus")
 
 
 def test_ngram_jaccard_length_filter_is_lossless(spark):

@@ -284,6 +284,109 @@ def probe_ngram_ab(spark, n_docs: int, rounds: int = 2) -> dict:
     }
 
 
+def probe_ngram_hash_ab(spark, n_docs: int, rounds: int = 3) -> dict:
+    """r9 continuation: poly-hashed shingles vs string shingles for the
+    plain inverted-index ngram-Jaccard path (the winnowing r9 map-side
+    form applied to the SSJoin family).  Same length-varied corpus as
+    probe_ngram_ab; interleaved min-of-N operator wall (only the ratio
+    is host-noise-safe); pair sets asserted identical via count plus an
+    order-independent pair checksum."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import dedup
+
+    threshold = 0.5
+    n_uniq = n_docs - n_docs // 20
+    docs = spark.range(n_docs).selectExpr(
+        "id as doc_id", f"pmod(id, {n_uniq}) as src"
+    ).selectExpr(
+        "doc_id",
+        "concat_ws(' ', 'the', 'data', transform("
+        " sequence(0, 3 + pmod(hash(src, 11), 25)), i ->"
+        " concat('w', pmod(hash(src * 13 + 7, i), 400000)))) as text",
+    )
+
+    walls: dict[str, list[float]] = {"str": [], "poly": []}
+    sums: dict[str, tuple] = {}
+    for _ in range(rounds):
+        for fam in ("str", "poly"):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            agg = (
+                dedup.ngram_jaccard_pairs(
+                    docs, k=2, threshold=threshold, shingle_hash=fam
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.hash("doc_id_a", "doc_id_b")).alias("chk"),
+                )
+                .collect()[0]
+            )
+            walls[fam].append(round(time.perf_counter() - t0, 2))
+            sums[fam] = (agg["n"], agg["chk"])
+    assert sums["str"] == sums["poly"], sums
+    return {
+        "probe": f"ngram_hash_ab_{n_docs}",
+        "n_docs": n_docs,
+        "threshold": threshold,
+        "pairs_out": sums["poly"][0],
+        "wall_str": walls["str"],
+        "wall_poly": walls["poly"],
+        "ratio_min_poly_over_str": round(
+            min(walls["poly"]) / min(walls["str"]), 3
+        ),
+    }
+
+
+def probe_minhash_hash_ab(spark, n_docs: int, rounds: int = 3) -> dict:
+    """r9 continuation: poly-hashed vs string shingles for the full
+    MinHash+LSH+verify pipeline (same trade the ngram_hash_ab probe
+    measures for the SSJoin family, plus MinHash's own term: the str
+    family pays one md5 per SHINGLE STRING, poly one md5 per TOKEN —
+    ~k x fewer hashed bytes, no shingle string).  Pair OUTPUT differs
+    between families only via LSH bucketing luck, so this asserts the
+    planted exact dups (jaccard 1.0 — always bucketed together) are
+    found by both; walls are interleaved min-of-N, ratio-only."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import dedup
+
+    n_uniq = n_docs - n_docs // 20
+    docs = spark.range(n_docs).selectExpr(
+        "id as doc_id", f"pmod(id, {n_uniq}) as src"
+    ).selectExpr(
+        "doc_id",
+        "concat_ws(' ', 'the', 'data', transform(sequence(0, 9), i ->"
+        " concat('w', pmod(hash(src * 13 + 7, i), 400000)))) as text",
+    )
+    walls: dict[str, list[float]] = {"str": [], "poly": []}
+    exact: dict[str, int] = {}
+    for _ in range(rounds):
+        for fam in ("str", "poly"):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = (
+                dedup.minhash_dedup_pairs(
+                    docs, k=3, threshold=0.8, shingle_hash=fam
+                )
+                .filter(F.col("jaccard") == 1.0)
+                .count()
+            )
+            walls[fam].append(round(time.perf_counter() - t0, 2))
+            exact[fam] = n
+    assert exact["str"] == exact["poly"] == n_docs // 20, exact
+    return {
+        "probe": f"minhash_hash_ab_{n_docs}",
+        "n_docs": n_docs,
+        "planted_exact_pairs_found": exact["poly"],
+        "wall_str": walls["str"],
+        "wall_poly": walls["poly"],
+        "ratio_min_poly_over_str": round(
+            min(walls["poly"]) / min(walls["str"]), 3
+        ),
+    }
+
+
 def probe_minhash(spark, n_docs: int) -> dict:
     """MinHash+LSH at probe scale: measures the BANDED-BUCKET candidate
     count (the LSH join's real output) vs the all-pairs volume, plus
@@ -779,6 +882,14 @@ def main() -> None:
         print(json.dumps(probe_ngram_ab(spark, 1_000_000)))
     if which == "ngram_ab_smoke":
         print(json.dumps(probe_ngram_ab(spark, 50_000, rounds=1)))
+    if which == "ngram_hash_ab":
+        print(json.dumps(probe_ngram_hash_ab(spark, 1_000_000)))
+    if which == "ngram_hash_ab_smoke":
+        print(json.dumps(probe_ngram_hash_ab(spark, 50_000, rounds=1)))
+    if which == "minhash_hash_ab":
+        print(json.dumps(probe_minhash_hash_ab(spark, 1_000_000)))
+    if which == "minhash_hash_ab_smoke":
+        print(json.dumps(probe_minhash_hash_ab(spark, 50_000, rounds=1)))
     if which in ("minhash", "all"):
         print(json.dumps(probe_minhash(spark, 250_000)))
         print(json.dumps(probe_minhash(spark, 1_000_000)))
