@@ -60,6 +60,59 @@ def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> Dat
                 pass
 
 
+_FANOUT_SENTINEL = "spark.hbase_tohdfs.fanout_conf_owner"
+
+
+@contextlib.contextmanager
+def scoped_fanout_join_confs(spark: SparkSession):
+    """Planning confs for FAN-OUT self-joins — the inverted-index /
+    LSH-bucket shapes (`ngram_jaccard_pairs`, `minhash_dedup_pairs`,
+    `simhash_dup_pairs`, `contamination_report`) whose join OUTPUT is
+    orders of magnitude larger than both inputs.  While held: broadcast
+    planning is off and AQE partition coalescing is off, so the
+    explosion runs on real hash-partitioned exchanges at the session's
+    shuffle width.
+
+    Why the operator must say this (measured, r9): both defeated
+    policies size by join INPUT.  On a small corpus the postings frame
+    compresses under the 10 MB broadcast threshold, so Spark broadcasts
+    one side and probes with the other side's INPUT partitioning — a
+    1-2-split parquet scan — running the multi-million-row explosion
+    plus the pair-count partial agg in ONE task (19-44s vs ~2s at
+    sf0.1, bimodal across rounds as size estimates straddled the
+    threshold).  Defeating broadcast alone is not enough: the replacing
+    sort-merge join's exchanges carry only a few MB, so AQE coalesces
+    them to one partition — the same single task.  Neither policy can
+    see the fan-out; the operator can.  At corpus scale the inputs
+    themselves exceed both thresholds and these settings match what the
+    planner does anyway, so the scope costs nothing there.
+
+    SQL conf is session-global while held — same
+    single-threaded-per-session contract as
+    ``scoped_shuffle_partitions`` (nested/concurrent scopes raise)."""
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    )
+    if spark.conf.get(_FANOUT_SENTINEL, None):
+        raise RuntimeError(
+            "concurrent fan-out-join conf scopes on one SparkSession: "
+            "pair-generating dedup operators are single-threaded per "
+            "session — run concurrent calls on separate spark.newSession() "
+            "clones or serialize them"
+        )
+    prev = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set(_FANOUT_SENTINEL, "1")
+    try:
+        spark.conf.set(keys[0], "-1")
+        spark.conf.set(keys[1], "false")
+        yield
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        spark.conf.unset(_FANOUT_SENTINEL)
+
+
 @contextlib.contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Clamp ``spark.sql.shuffle.partitions`` for a driver-side loop,

@@ -181,7 +181,8 @@ def contamination_report(
         .filter(F.col("rn") == 1)
         .select("doc_id", "eval_doc_id", "n_common")
     )
-    return cacheutil.materialize_and_release(report, sh, postings)
+    with cacheutil.scoped_fanout_join_confs(docs.sparkSession):
+        return cacheutil.materialize_and_release(report, sh, postings)
 
 
 def passage_dedup(docs: DataFrame, chunk_tokens: int = 10) -> DataFrame:

@@ -341,7 +341,8 @@ def minhash_dedup_pairs(
         max_bucket_size=max_bucket_size,
     )
     pairs = jaccard_verify_from_shingles(sh_docs, cands, threshold)
-    return cacheutil.materialize_and_release(pairs, sh_docs, sigs)
+    with cacheutil.scoped_fanout_join_confs(docs.sparkSession):
+        return cacheutil.materialize_and_release(pairs, sh_docs, sigs)
 
 
 #: drop shingles occurring in more docs than this from the inverted index
@@ -485,7 +486,8 @@ def ngram_jaccard_pairs(
             .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-        return cacheutil.materialize_and_release(pairs, sh_docs)
+        with cacheutil.scoped_fanout_join_confs(docs.sparkSession):
+            return cacheutil.materialize_and_release(pairs, sh_docs)
 
     # --- PPJoin path ---------------------------------------------------
     # Rank each doc's rare shingles rarest-first; one shuffle on doc_id
@@ -546,7 +548,8 @@ def ngram_jaccard_pairs(
         .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return cacheutil.materialize_and_release(pairs, sh_docs)
+    with cacheutil.scoped_fanout_join_confs(docs.sparkSession):
+        return cacheutil.materialize_and_release(pairs, sh_docs)
 
 
 SIMHASH_BITS = 60
@@ -643,7 +646,8 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     pairs = cand.select(
         "doc_id_a", "doc_id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
-    return cacheutil.materialize_and_release(pairs, s)
+    with cacheutil.scoped_fanout_join_confs(docs.sparkSession):
+        return cacheutil.materialize_and_release(pairs, s)
 
 
 def connected_components(
