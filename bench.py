@@ -52,6 +52,15 @@ N_RUNS_PER_QUERY = 3
 VM_HEALTHY_Q6_MIN = 0.20
 VM_HEALTHY_FACTOR = 1.75
 
+#: Healthy floor for the second calibration axis: a 50M-row / 1M-group
+#: shuffle burn (`spark.range(50e6) % 1e6 groupBy count`).  r9 found a
+#: host-degradation shape the scan-agg probe is blind to: pure codegen
+#: at full speed (2B-row burn 0.3-0.7s) while shuffle-heavy stages
+#: crawl 3-10x (this burn 1.7s healthy vs 5s+ degraded) — exactly the
+#: shape that inflates the pair-join dedup queries.  Floor measured on
+#: this box in the same window that reproduced tpch_q6's 0.20s.
+VM_HEALTHY_SHUFFLE_MIN = 1.7
+
 
 def vm_health_note(q6_raw: float) -> str:
     """Render the calibration annotation for a raw tpch_q6 timing."""

@@ -29,6 +29,7 @@ def test_floor_is_shared_with_bench():
     # disagree on the floor, every health verdict becomes ambiguous.
     assert vm_calibrate.HEALTHY_MIN == bench.VM_HEALTHY_Q6_MIN
     assert vm_calibrate.HEALTHY_FACTOR == bench.VM_HEALTHY_FACTOR
+    assert vm_calibrate.SHUFFLE_HEALTHY_MIN == bench.VM_HEALTHY_SHUFFLE_MIN
 
 
 def test_calibrate_rejects_nonpositive_runs():

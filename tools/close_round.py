@@ -88,7 +88,7 @@ def probe_calibration(require_healthy: bool) -> int | None:
     import vm_calibrate
 
     try:
-        runs, factor, verdict = vm_calibrate.calibrate(4)
+        runs, factor, verdict, detail = vm_calibrate.calibrate(4)
     except SystemExit as exc:
         print(
             f"close_round: calibration probe refused: {exc}\n"
@@ -99,8 +99,8 @@ def probe_calibration(require_healthy: bool) -> int | None:
         )
         return 4
     print(
-        f"\n=== close_round calibration: tpch_q6 {runs} -> min "
-        f"{min(runs):.2f}s = {factor:.1f}x healthy floor -> {verdict}",
+        f"\n=== close_round calibration: {detail} -> worst axis "
+        f"{factor:.1f}x -> {verdict}",
         flush=True,
     )
     return calibration_gate(factor, require_healthy)

@@ -39,10 +39,21 @@ CALIBRATED_SF_DIR_SUFFIX = "sf0.1"
 #: at or below this multiple of HEALTHY_MIN, perf measurements are
 #: trustworthy; above it, freeze .py files and do artifact/doc work.
 HEALTHY_FACTOR = bench.VM_HEALTHY_FACTOR
+#: second axis (r9): shuffle-burn floor — see bench.VM_HEALTHY_SHUFFLE_MIN.
+SHUFFLE_HEALTHY_MIN = bench.VM_HEALTHY_SHUFFLE_MIN
 
 
-def calibrate(n_runs: int = 4) -> tuple[list[float], float, str]:
-    """Run the calibration probe; return (runs, factor, verdict).
+def calibrate(n_runs: int = 4) -> tuple[list[float], float, str, str]:
+    """Run the two-axis calibration probe; return
+    ``(q6_runs, factor, verdict, detail)``.
+
+    Two axes because the host degrades in (at least) two distinct
+    shapes: (a) everything slow, which the scan-agg probe (tpch_q6)
+    catches; (b) shuffle-heavy stages 3-10x slow while pure codegen
+    runs at full speed (discovered r9 chasing dedup_ngram_jaccard) —
+    caught only by the 50M-row shuffle burn.  ``factor`` is the WORST
+    axis's multiple of its floor; ``detail`` is a one-line human
+    summary of both axes.
 
     Importable so tools/close_round.py can record the same measurement
     in BENCH notes without a subprocess round-trip.
@@ -66,18 +77,32 @@ def calibrate(n_runs: int = 4) -> tuple[list[float], float, str]:
     spark = bench._fresh_session()
     fn = REGISTRY["tpch_q6"].fn
     runs: list[float] = []
+    sh_runs: list[float] = []
     try:
         for _ in range(n_runs):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(round(time.perf_counter() - t0, 3))
+        for _ in range(max(2, n_runs - 2)):
+            t0 = time.perf_counter()
+            spark.range(50_000_000).selectExpr(
+                "id % 1000000 as k"
+            ).groupBy("k").count().write.mode("overwrite").format(
+                "noop"
+            ).save()
+            sh_runs.append(round(time.perf_counter() - t0, 3))
     finally:
         spark.stop()
-    best = min(runs)
-    factor = best / HEALTHY_MIN
+    q6_factor = min(runs) / HEALTHY_MIN
+    sh_factor = min(sh_runs) / SHUFFLE_HEALTHY_MIN
+    factor = max(q6_factor, sh_factor)
     verdict = "HEALTHY" if factor <= HEALTHY_FACTOR else "DEGRADED"
-    return runs, factor, verdict
+    detail = (
+        f"tpch_q6 min {min(runs):.2f}s = {q6_factor:.1f}x floor; "
+        f"shuffle burn min {min(sh_runs):.2f}s = {sh_factor:.1f}x floor"
+    )
+    return runs, factor, verdict, detail
 
 
 def main() -> None:
@@ -87,12 +112,10 @@ def main() -> None:
         raise SystemExit(f"usage: vm_calibrate.py [n_runs>=1] — got {sys.argv[1]!r}")
     if n_runs < 1:
         raise SystemExit(f"usage: vm_calibrate.py [n_runs>=1] — got {n_runs}")
-    runs, factor, verdict = calibrate(n_runs)
+    runs, factor, verdict, detail = calibrate(n_runs)
     print(f"tpch_q6 runs: {runs}")
-    print(
-        f"min {min(runs):.2f}s = {factor:.1f}x the healthy floor "
-        f"({HEALTHY_MIN:.2f}s) -> {verdict}"
-    )
+    print(f"{detail}")
+    print(f"worst axis {factor:.1f}x its healthy floor -> {verdict}")
     if verdict == "DEGRADED":
         print(
             "Do NOT land .py changes or trust perf measurements now; "
