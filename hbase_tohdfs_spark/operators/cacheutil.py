@@ -62,6 +62,15 @@ def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> Dat
 
 _FANOUT_SENTINEL = "spark.hbase_tohdfs.fanout_conf_owner"
 
+#: the confs the fan-out scope owns and the values it applies — public so
+#: plan-audit tooling can restore session defaults between queries in
+#: lazy mode (where the scope deliberately skips its own restore).
+FANOUT_CONF_VALUES = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+FANOUT_CONF_KEYS = tuple(FANOUT_CONF_VALUES)
+
 
 @contextlib.contextmanager
 def scoped_fanout_join_confs(spark: SparkSession):
@@ -89,11 +98,18 @@ def scoped_fanout_join_confs(spark: SparkSession):
 
     SQL conf is session-global while held — same
     single-threaded-per-session contract as
-    ``scoped_shuffle_partitions`` (nested/concurrent scopes raise)."""
-    keys = (
-        "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.adaptive.coalescePartitions.enabled",
-    )
+    ``scoped_shuffle_partitions`` (nested/concurrent scopes raise).
+
+    LAZY-PLANS mode (r9 verdict "what's wrong" #2): physical planning
+    happens at action/explain time, not DataFrame-construction time.
+    On the lazy path ``materialize_and_release`` returns before the
+    action, so this scope used to exit — restoring broadcast — before
+    plan-audit tooling ever explained the frame, and PLANS.md recorded
+    a broadcast plan the bench never executes.  With ``LAZY_PLANS_ENV``
+    set the confs therefore stay APPLIED after exit so a later
+    ``.explain()`` plans the exact forced-wide shape the eager path
+    runs; ``tools/dump_plans.py`` (the only lazy-mode caller) restores
+    the session defaults between queries via ``FANOUT_CONF_KEYS``."""
     if spark.conf.get(_FANOUT_SENTINEL, None):
         raise RuntimeError(
             "concurrent fan-out-join conf scopes on one SparkSession: "
@@ -101,15 +117,16 @@ def scoped_fanout_join_confs(spark: SparkSession):
             "session — run concurrent calls on separate spark.newSession() "
             "clones or serialize them"
         )
-    prev = {k: spark.conf.get(k) for k in keys}
+    prev = {k: spark.conf.get(k) for k in FANOUT_CONF_KEYS}
     spark.conf.set(_FANOUT_SENTINEL, "1")
     try:
-        spark.conf.set(keys[0], "-1")
-        spark.conf.set(keys[1], "false")
+        for k, v in FANOUT_CONF_VALUES.items():
+            spark.conf.set(k, v)
         yield
     finally:
-        for k, v in prev.items():
-            spark.conf.set(k, v)
+        if not os.environ.get(LAZY_PLANS_ENV):
+            for k, v in prev.items():
+                spark.conf.set(k, v)
         spark.conf.unset(_FANOUT_SENTINEL)
 
 

@@ -125,7 +125,18 @@ def test_clamped_partitions_session_is_true_ceiling(spark):
         spark.conf.set(key, prev)
 
 
-def test_lazy_plans_env_keeps_plan_lazy(spark, docs, monkeypatch):
+@pytest.fixture()
+def _restore_fanout_confs(spark):
+    """Lazy mode deliberately leaves the fan-out confs applied (r9
+    verdict #2); tests exercising it must put the session back."""
+    saved = {k: spark.conf.get(k) for k in cacheutil.FANOUT_CONF_KEYS}
+    yield
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+    spark.catalog.clearCache()
+
+
+def test_lazy_plans_env_keeps_plan_lazy(spark, docs, monkeypatch, _restore_fanout_confs):
     monkeypatch.setenv(cacheutil.LAZY_PLANS_ENV, "1")
     spark.catalog.clearCache()
     result = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
@@ -133,3 +144,38 @@ def test_lazy_plans_env_keeps_plan_lazy(spark, docs, monkeypatch):
     # (intermediates stay cached — plan-dump tooling clears them itself)
     assert "InMemory" in result._jdf.queryExecution().toString() or not _sql_cache_empty(spark)
     spark.catalog.clearCache()
+
+
+def test_lazy_plans_explain_records_executed_fanout_plan(
+    spark, docs, monkeypatch, _restore_fanout_confs
+):
+    """r9 verdict #2 (PLANS.md fidelity): physical planning happens at
+    explain/action time, so if the fan-out scope restored broadcast on
+    the lazy path, the audited plan would contain BroadcastHashJoins the
+    eager (bench-executed) path never runs.  Pin that in lazy mode the
+    confs stay applied after the operator returns and a post-hoc explain
+    shows the forced-wide shape: zero broadcast joins, sort-merge on the
+    postings self-join."""
+    monkeypatch.setenv(cacheutil.LAZY_PLANS_ENV, "1")
+    spark.catalog.clearCache()
+    result = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
+    # the scope's confs survive its exit in lazy mode...
+    for k, v in cacheutil.FANOUT_CONF_VALUES.items():
+        assert spark.conf.get(k) == v, f"{k} restored on lazy path"
+    # ...so the audit-time physical plan IS the executed plan
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, (
+        "lazy-mode explain planned a broadcast join the eager bench "
+        "path never executes"
+    )
+    assert "SortMergeJoin" in plan
+
+
+def test_fanout_scope_restores_confs_on_eager_path(spark, docs):
+    """The production (eager) path must still restore the session confs —
+    the lazy carve-out is tooling-only."""
+    saved = {k: spark.conf.get(k) for k in cacheutil.FANOUT_CONF_KEYS}
+    spark.catalog.clearCache()
+    dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5).count()
+    for k, v in saved.items():
+        assert spark.conf.get(k) == v, f"{k} not restored after eager call"
