@@ -65,9 +65,25 @@ _FANOUT_SENTINEL = "spark.hbase_tohdfs.fanout_conf_owner"
 #: the confs the fan-out scope owns and the values it applies — public so
 #: plan-audit tooling can restore session defaults between queries in
 #: lazy mode (where the scope deliberately skips its own restore).
+#:
+#: r10 (A/B'd, tools/scale_probe.py fanout_ab): the r9 scope turned AQE
+#: partition coalescing OFF entirely.  The surgical form keeps
+#: coalescing ON and instead drops the coalesce floor to 16KB with
+#: ``parallelismFirst`` pinned true, so the target merged size is
+#: max(compressedBytes / parallelism, 16KB): the fan-out exchange — the
+#: one whose compressed payload is small but whose join OUTPUT explodes
+#: — stays ~core-count wide (the r9 defect was a ~600KB-compressed
+#: exchange folding to ONE task at the 1MB default floor), while the
+#: genuinely large exchanges in the same plan (signature agg, df-cap
+#: agg) keep AQE's coalescing.  Measured surgical/blanket minima:
+#: 0.96x/0.92x (ngram/minhash, sf0.1), 0.76x/0.56x (1M synthetic
+#: docs), identical pair counts.  Residual boundary: an input slice
+#: compressing under 16KB still plans one task — at that size even a
+#: 5000x fan-out is sub-second of work.
 FANOUT_CONF_VALUES = {
     "spark.sql.autoBroadcastJoinThreshold": "-1",
-    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
 }
 FANOUT_CONF_KEYS = tuple(FANOUT_CONF_VALUES)
 
@@ -78,9 +94,10 @@ def scoped_fanout_join_confs(spark: SparkSession):
     LSH-bucket shapes (`ngram_jaccard_pairs`, `minhash_dedup_pairs`,
     `simhash_dup_pairs`, `contamination_report`) whose join OUTPUT is
     orders of magnitude larger than both inputs.  While held: broadcast
-    planning is off and AQE partition coalescing is off, so the
-    explosion runs on real hash-partitioned exchanges at the session's
-    shuffle width.
+    planning is off and AQE's coalesce floor is dropped to 16KB (see
+    ``FANOUT_CONF_VALUES``), so the explosion runs on real
+    hash-partitioned exchanges kept ~core-count wide while the large
+    non-fan-out exchanges in the same plan keep AQE coalescing.
 
     Why the operator must say this (measured, r9): both defeated
     policies size by join INPUT.  On a small corpus the postings frame
@@ -90,8 +107,9 @@ def scoped_fanout_join_confs(spark: SparkSession):
     plus the pair-count partial agg in ONE task (19-44s vs ~2s at
     sf0.1, bimodal across rounds as size estimates straddled the
     threshold).  Defeating broadcast alone is not enough: the replacing
-    sort-merge join's exchanges carry only a few MB, so AQE coalesces
-    them to one partition — the same single task.  Neither policy can
+    sort-merge join's exchanges compress under AQE's default 1MB
+    coalesce floor, so AQE folds them to one partition — the same
+    single task; the 16KB floor keeps them wide.  Neither policy can
     see the fan-out; the operator can.  At corpus scale the inputs
     themselves exceed both thresholds and these settings match what the
     planner does anyway, so the scope costs nothing there.

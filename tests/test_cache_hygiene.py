@@ -171,6 +171,26 @@ def test_lazy_plans_explain_records_executed_fanout_plan(
     assert "SortMergeJoin" in plan
 
 
+def test_fanout_scope_is_surgical_not_blanket(spark):
+    """r10 A/B (tools/scale_probe.py fanout_ab): the scope must NOT turn
+    AQE partition coalescing off wholesale — it keeps coalescing for the
+    large non-fan-out exchanges and holds the fan-out exchange wide via
+    the 16KB minPartitionSize floor + parallelismFirst."""
+    assert (
+        "spark.sql.adaptive.coalescePartitions.enabled"
+        not in cacheutil.FANOUT_CONF_VALUES
+    )
+    assert (
+        cacheutil.FANOUT_CONF_VALUES[
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+        ]
+        == "16KB"
+    )
+    with cacheutil.scoped_fanout_join_confs(spark):
+        assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+
+
 def test_fanout_scope_restores_confs_on_eager_path(spark, docs):
     """The production (eager) path must still restore the session confs —
     the lazy carve-out is tooling-only."""

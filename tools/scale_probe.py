@@ -387,6 +387,93 @@ def probe_minhash_hash_ab(spark, n_docs: int, rounds: int = 3) -> dict:
     }
 
 
+def _fanout_ab_corpus(spark, n_docs: int):
+    """The probe_ngram synthetic corpus (5% planted dups, 2 boilerplate
+    tokens, 400k vocab) — shared by the fan-out conf A/B."""
+    n_uniq = n_docs - n_docs // 20
+    return spark.range(n_docs).selectExpr(
+        "id as doc_id", f"pmod(id, {n_uniq}) as src"
+    ).selectExpr(
+        "doc_id",
+        "concat_ws(' ', 'the', 'data', transform(sequence(0, 9), i ->"
+        " concat('w', pmod(hash(src * 13 + 7, i), 400000)))) as text",
+    )
+
+
+def probe_fanout_conf_ab(spark, n_docs: int, rounds: int = 3, sf_dir: str | None = None) -> dict:
+    """r9-verdict task 3: blanket fan-out scope (broadcast off + AQE
+    partition coalescing OFF) vs the surgical form (broadcast off +
+    coalescing ON with a small ``minPartitionSize`` floor, which keeps
+    AQE's coalescing for the NON-fan-out exchanges in the same plan —
+    df-cap agg, signature agg — while ``parallelismFirst`` math keeps
+    the explosion exchange wide: target size = max(bytes/parallelism,
+    minPartitionSize), so a 6 MB exchange at 16 KB floor stays ~32-way
+    instead of folding to 1).
+
+    Interleaved per round (A, B, A, B ...) so a host-throughput drift
+    mid-probe hits both variants equally; read RATIOS, not walls.
+    Asserts identical pair counts per variant (plan-only change).
+    With ``sf_dir`` set, runs the two registry-shaped queries on the
+    real documents table instead of the synthetic corpus."""
+    from hbase_tohdfs_spark.operators import cacheutil, dedup
+
+    variants = {
+        "blanket": dict(cacheutil.FANOUT_CONF_VALUES),
+        "surgical": {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+        },
+    }
+    if sf_dir:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        label = f"sf:{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    else:
+        docs = _fanout_ab_corpus(spark, n_docs)
+        label = f"synthetic:{n_docs}"
+    ops = {
+        "ngram": lambda d: dedup.ngram_jaccard_pairs(d, k=2, threshold=0.5),
+        "minhash": lambda d: dedup.minhash_dedup_pairs(d, k=3, threshold=0.5),
+    }
+    times: dict = {op: {v: [] for v in variants} for op in ops}
+    pair_counts: dict = {op: {} for op in ops}
+    saved_vals, saved_keys = cacheutil.FANOUT_CONF_VALUES, cacheutil.FANOUT_CONF_KEYS
+    try:
+        for _ in range(rounds):
+            for vname, confs in variants.items():
+                cacheutil.FANOUT_CONF_VALUES = confs
+                cacheutil.FANOUT_CONF_KEYS = tuple(confs)
+                for opname, op in ops.items():
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    n = op(docs).count()
+                    times[opname][vname].append(
+                        round(time.perf_counter() - t0, 2)
+                    )
+                    prev = pair_counts[opname].setdefault(vname, n)
+                    assert prev == n, f"{opname}/{vname} nondeterministic"
+    finally:
+        cacheutil.FANOUT_CONF_VALUES = saved_vals
+        cacheutil.FANOUT_CONF_KEYS = saved_keys
+    for op in ops:
+        a, b = pair_counts[op].get("blanket"), pair_counts[op].get("surgical")
+        assert a == b, f"{op}: pair counts differ across variants ({a} vs {b})"
+    return {
+        "probe": f"fanout_conf_ab_{label}",
+        "rounds": rounds,
+        "runs_sec": times,
+        "min_sec": {
+            op: {v: min(ts) for v, ts in per.items()}
+            for op, per in times.items()
+        },
+        "surgical_over_blanket": {
+            op: round(min(per["surgical"]) / min(per["blanket"]), 3)
+            for op, per in times.items()
+        },
+        "pairs_out": {op: pair_counts[op]["blanket"] for op in ops},
+    }
+
+
 def probe_minhash(spark, n_docs: int) -> dict:
     """MinHash+LSH at probe scale: measures the BANDED-BUCKET candidate
     count (the LSH join's real output) vs the all-pairs volume, plus
@@ -890,6 +977,12 @@ def main() -> None:
         print(json.dumps(probe_minhash_hash_ab(spark, 1_000_000)))
     if which == "minhash_hash_ab_smoke":
         print(json.dumps(probe_minhash_hash_ab(spark, 50_000, rounds=1)))
+    if which == "fanout_ab":
+        print(json.dumps(probe_fanout_conf_ab(spark, 0, rounds=3,
+                                              sf_dir="/root/testdata/sf0.1")))
+        print(json.dumps(probe_fanout_conf_ab(spark, 1_000_000, rounds=2)))
+    if which == "fanout_ab_smoke":
+        print(json.dumps(probe_fanout_conf_ab(spark, 20_000, rounds=1)))
     if which in ("minhash", "all"):
         print(json.dumps(probe_minhash(spark, 250_000)))
         print(json.dumps(probe_minhash(spark, 1_000_000)))
