@@ -87,9 +87,99 @@ FANOUT_CONF_VALUES = {
 }
 FANOUT_CONF_KEYS = tuple(FANOUT_CONF_VALUES)
 
+#: conf overrides applied while a REPART-mode fan-out operator holds the
+#: scope: none.  In repart mode the width guarantee lives in the plan
+#: itself (the pinned ``repartition(n, keys)`` below — a
+#: REPARTITION_BY_NUM shuffle AQE never coalesces), so the planner keeps
+#: its defaults: broadcast hash joins stay allowed (a wide BHJ probe
+#: skips the SMJ sort entirely — the measured r10 lead), and AQE
+#: coalescing keeps its normal floor for the genuinely large non-fan-out
+#: exchanges (signature agg, df-cap agg, pair-count agg).
+REPART_FANOUT_CONF_VALUES: dict[str, str] = {}
+
+#: fan-out execution modes (r10 verdict task 1).  ``"scope"`` = the r10
+#: surgical conf scope: broadcast off + 16KB AQE coalesce floor, so the
+#: planner's own exchanges stay ~core-count wide.  ``"repart"`` = pin
+#: the fan-out join inputs wide with an explicit
+#: ``repartition(fanout_width(spark), keys)`` and leave the planner
+#: defaults alone (see ``REPART_FANOUT_CONF_VALUES``).  Both modes close
+#: the r9 single-task hole; they differ in HOW: conf pressure on the
+#: planner vs an explicit distribution requirement in the plan.
+FANOUT_MODES = ("scope", "repart")
+#: shipped default.  Ship bar for flipping to "repart" (recorded per
+#: r10 verdict task 1): interleaved min-of->=3 in a calibration-HEALTHY
+#: window, identical pair counts, >=1.3x on the fan-out family total.
+FANOUT_MODE_DEFAULT = "scope"
+_fanout_mode: str = FANOUT_MODE_DEFAULT
+_fanout_conf_overrides: dict[str, str] | None = None
+
+
+def current_fanout_mode() -> str:
+    """The fan-out mode operators will use right now (module state;
+    same single-threaded-per-process contract as the conf scopes)."""
+    return _fanout_mode
+
 
 @contextlib.contextmanager
-def scoped_fanout_join_confs(spark: SparkSession):
+def fanout_mode(mode: str):
+    """Run fan-out operators under an explicit mode (A/B probes, tests).
+
+    This is the supported switch — probe code must not reassign module
+    globals (ADVICE r10).  Module-level state, same
+    single-threaded-per-process contract as the conf scopes."""
+    global _fanout_mode
+    if mode not in FANOUT_MODES:
+        raise ValueError(f"unknown fanout mode {mode!r}; expected {FANOUT_MODES}")
+    prev = _fanout_mode
+    _fanout_mode = mode
+    try:
+        yield
+    finally:
+        _fanout_mode = prev
+
+
+@contextlib.contextmanager
+def fanout_conf_overrides(values: dict[str, str]):
+    """Replace the conf set the NEXT entered fan-out scopes apply —
+    the supported injection point for conf A/B probes
+    (``tools/scale_probe.py``), replacing the old global-reassignment
+    hack (ADVICE r10).  Does not affect a scope already entered."""
+    global _fanout_conf_overrides
+    prev = _fanout_conf_overrides
+    _fanout_conf_overrides = dict(values)
+    try:
+        yield
+    finally:
+        _fanout_conf_overrides = prev
+
+
+def fanout_width(spark: SparkSession) -> int:
+    """Width for pinned fan-out repartitions: the session shuffle
+    setting (via :func:`clamped_partitions`, so the >=4 floor applies on
+    degenerate test sessions).  On a cluster this follows
+    ``spark.sql.shuffle.partitions`` — the same knob every other
+    exchange obeys — so the fan-out join scales with total cores."""
+    return clamped_partitions(spark, 1 << 30)
+
+
+def fanout_repartition(df: DataFrame, *cols: str) -> DataFrame:
+    """Pin a fan-out join input wide: ``repartition(n, cols)`` with an
+    EXPLICIT ``n`` (= :func:`fanout_width`), never ``repartition(cols)``
+    — a column-only repartition is a REPARTITION_BY_COL shuffle AQE may
+    coalesce to one partition on a small-compressing input, which is
+    exactly the r9 single-task hole.  REPARTITION_BY_NUM is preserved
+    verbatim by AQE, so the explosion runs ``n`` wide no matter how
+    small the INPUT compresses.  Identity in ``"scope"`` mode (the conf
+    scope provides the width guarantee there)."""
+    if _fanout_mode != "repart":
+        return df
+    return df.repartition(fanout_width(df.sparkSession), *cols)
+
+
+@contextlib.contextmanager
+def scoped_fanout_join_confs(
+    spark: SparkSession, overrides: dict[str, str] | None = None
+):
     """Planning confs for FAN-OUT self-joins — the inverted-index /
     LSH-bucket shapes (`ngram_jaccard_pairs`, `minhash_dedup_pairs`,
     `simhash_dup_pairs`, `contamination_report`) whose join OUTPUT is
@@ -127,7 +217,26 @@ def scoped_fanout_join_confs(spark: SparkSession):
     set the confs therefore stay APPLIED after exit so a later
     ``.explain()`` plans the exact forced-wide shape the eager path
     runs; ``tools/dump_plans.py`` (the only lazy-mode caller) restores
-    the session defaults between queries via ``FANOUT_CONF_KEYS``."""
+    the session defaults between queries via ``FANOUT_CONF_KEYS``.
+    The lazy decision is captured ONCE at scope entry (ADVICE r10: an
+    exit-time env check could see a mid-scope flip and restore a
+    snapshot inconsistently).
+
+    ``overrides`` replaces the conf set for this one scope (probe /
+    tooling hook); without it the set follows the current fan-out mode:
+    ``FANOUT_CONF_VALUES`` in ``"scope"`` mode,
+    ``REPART_FANOUT_CONF_VALUES`` (empty — the pinned repartition in
+    the plan is the guarantee) in ``"repart"`` mode, or an ambient
+    :func:`fanout_conf_overrides` block."""
+    if overrides is not None:
+        values = overrides
+    elif _fanout_conf_overrides is not None:
+        values = _fanout_conf_overrides
+    elif _fanout_mode == "repart":
+        values = REPART_FANOUT_CONF_VALUES
+    else:
+        values = FANOUT_CONF_VALUES
+    lazy = bool(os.environ.get(LAZY_PLANS_ENV))
     if spark.conf.get(_FANOUT_SENTINEL, None):
         raise RuntimeError(
             "concurrent fan-out-join conf scopes on one SparkSession: "
@@ -135,14 +244,14 @@ def scoped_fanout_join_confs(spark: SparkSession):
             "session — run concurrent calls on separate spark.newSession() "
             "clones or serialize them"
         )
-    prev = {k: spark.conf.get(k) for k in FANOUT_CONF_KEYS}
+    prev = {k: spark.conf.get(k) for k in values}
     spark.conf.set(_FANOUT_SENTINEL, "1")
     try:
-        for k, v in FANOUT_CONF_VALUES.items():
+        for k, v in values.items():
             spark.conf.set(k, v)
         yield
     finally:
-        if not os.environ.get(LAZY_PLANS_ENV):
+        if not lazy:
             for k, v in prev.items():
                 spark.conf.set(k, v)
         spark.conf.unset(_FANOUT_SENTINEL)

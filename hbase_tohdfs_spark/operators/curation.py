@@ -159,8 +159,13 @@ def contamination_report(
         .select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
     )
     dfc = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    postings = postings.join(
-        dfc.filter(F.col("df") <= max_df).select("s"), "s"
+    # Repart mode: pin the df-capped postings wide BEFORE the persist —
+    # train and eval are filters of this one cached frame, so both sides
+    # of the fan-out join inherit the pinned HashPartitioning(s) from
+    # the cache (one shuffle total, zero extra exchanges at any scale;
+    # identity in scope mode — see cacheutil.fanout_repartition).
+    postings = cacheutil.fanout_repartition(
+        postings.join(dfc.filter(F.col("df") <= max_df).select("s"), "s"), "s"
     ).persist()
     is_eval = _bucket100("cast(doc_id as string)") < eval_pct
     train = postings.filter(~is_eval).select(

@@ -220,6 +220,11 @@ def lsh_candidate_pairs(
             .select("band_idx", "bucket")
         )
         buckets = buckets.join(small, ["band_idx", "bucket"])
+    # Repart mode: pin the bucket self-join's input wide (the join
+    # OUTPUT explodes ~f^2 per bucket while its INPUT may compress to
+    # KBs — input-sized planner heuristics are blind to that; see
+    # cacheutil.fanout_repartition).  In scope mode this is identity.
+    buckets = cacheutil.fanout_repartition(buckets, "band_idx", "bucket")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -248,7 +253,15 @@ def jaccard_verify(
 def jaccard_verify_from_shingles(
     sh_docs: DataFrame, pairs: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
-    """Jaccard verification against a prepared ``(doc_id, sh)`` frame."""
+    """Jaccard verification against a prepared ``(doc_id, sh)`` frame.
+
+    Repart mode pins the candidate side wide before the set-lookup
+    joins: ``pairs`` arrives from an AQE-coalescible ``distinct()``
+    exchange, so with the shingle sets broadcast the per-pair
+    ``array_intersect`` work would otherwise run at whatever width that
+    exchange coalesced to (one task on a small-compressing candidate
+    set — the r9 hole, verify-join edition)."""
+    pairs = cacheutil.fanout_repartition(pairs, "doc_id_a")
     sets = sh_docs.filter(F.size("sh") > 0).select(
         "doc_id", F.array_distinct("sh").alias("shset")
     )
@@ -463,6 +476,10 @@ def ngram_jaccard_pairs(
         )
 
     if not prefix_filter:
+        # Repart mode: pin the postings self-join wide — its output is
+        # sum(df^2) rows off a KB-compressing input (identity in scope
+        # mode; see cacheutil.fanout_repartition).
+        postings = cacheutil.fanout_repartition(postings, "s")
         a, b = postings.alias("a"), postings.alias("b")
         inter = (
             a.join(
@@ -511,6 +528,7 @@ def ngram_jaccard_pairs(
         - F.ceil(F.lit(threshold) * F.col("n_full") - F.lit(1e-9))
         + 1
     ).select("doc_id", "n_full", "s")
+    prefix = cacheutil.fanout_repartition(prefix, "s")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -542,7 +560,8 @@ def ngram_jaccard_pairs(
         F.col("n_full").alias("nb"),
     )
     pairs = (
-        cand.join(ra, "doc_id_a")
+        cacheutil.fanout_repartition(cand, "doc_id_a")
+        .join(ra, "doc_id_a")
         .join(rb, "doc_id_b")
         .withColumn("n_common", F.size(F.array_intersect("rset_a", "rset_b")))
         .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
@@ -626,6 +645,8 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("cc"),
     ).select("doc_id", "simhash", "cc.chunk_idx", "cc.chunk")
+    # Repart mode: pin the chunk self-join wide (identity in scope mode)
+    chunks = cacheutil.fanout_repartition(chunks, "chunk_idx", "chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

@@ -158,7 +158,8 @@ def test_lazy_plans_explain_records_executed_fanout_plan(
     postings self-join."""
     monkeypatch.setenv(cacheutil.LAZY_PLANS_ENV, "1")
     spark.catalog.clearCache()
-    result = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
+    with cacheutil.fanout_mode("scope"):
+        result = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
     # the scope's confs survive its exit in lazy mode...
     for k, v in cacheutil.FANOUT_CONF_VALUES.items():
         assert spark.conf.get(k) == v, f"{k} restored on lazy path"
@@ -186,9 +187,10 @@ def test_fanout_scope_is_surgical_not_blanket(spark):
         ]
         == "16KB"
     )
-    with cacheutil.scoped_fanout_join_confs(spark):
-        assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
-        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    with cacheutil.fanout_mode("scope"):
+        with cacheutil.scoped_fanout_join_confs(spark):
+            assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+            assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
 
 
 def test_fanout_scope_restores_confs_on_eager_path(spark, docs):
@@ -196,6 +198,97 @@ def test_fanout_scope_restores_confs_on_eager_path(spark, docs):
     the lazy carve-out is tooling-only."""
     saved = {k: spark.conf.get(k) for k in cacheutil.FANOUT_CONF_KEYS}
     spark.catalog.clearCache()
-    dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5).count()
+    with cacheutil.fanout_mode("scope"):
+        dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5).count()
     for k, v in saved.items():
         assert spark.conf.get(k) == v, f"{k} not restored after eager call"
+
+
+def test_fanout_mode_context_switches_and_restores():
+    assert cacheutil.current_fanout_mode() == cacheutil.FANOUT_MODE_DEFAULT
+    other = "repart" if cacheutil.FANOUT_MODE_DEFAULT == "scope" else "scope"
+    with cacheutil.fanout_mode(other):
+        assert cacheutil.current_fanout_mode() == other
+    assert cacheutil.current_fanout_mode() == cacheutil.FANOUT_MODE_DEFAULT
+    with pytest.raises(ValueError, match="unknown fanout mode"):
+        with cacheutil.fanout_mode("yolo"):
+            pass
+
+
+def test_scoped_fanout_confs_overrides_param_applies_and_restores(spark):
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key)
+    with cacheutil.scoped_fanout_join_confs(spark, overrides={key: "12345"}):
+        assert spark.conf.get(key) == "12345"
+    assert spark.conf.get(key) == before
+
+
+def test_fanout_conf_overrides_ambient_context(spark):
+    """The probe-facing injection hook (ADVICE r10): an ambient override
+    replaces the mode's conf set for scopes entered inside the block."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key)
+    with cacheutil.fanout_conf_overrides({key: "54321"}):
+        with cacheutil.scoped_fanout_join_confs(spark):
+            assert spark.conf.get(key) == "54321"
+        assert spark.conf.get(key) == before
+    # outside the override block, scope mode applies its own set again
+    with cacheutil.fanout_mode("scope"):
+        with cacheutil.scoped_fanout_join_confs(spark):
+            assert spark.conf.get(key) == "-1"
+    assert spark.conf.get(key) == before
+
+
+def test_fanout_scope_lazy_decision_captured_at_entry(spark, monkeypatch):
+    """ADVICE r10: the env is read ONCE at scope entry — a mid-scope flip
+    must not turn the exit into a silent conf leak."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key)
+    monkeypatch.delenv(cacheutil.LAZY_PLANS_ENV, raising=False)
+    with cacheutil.fanout_mode("scope"):
+        with cacheutil.scoped_fanout_join_confs(spark):
+            monkeypatch.setenv(cacheutil.LAZY_PLANS_ENV, "1")  # mid-scope flip
+    assert spark.conf.get(key) == before, (
+        "exit-time env check leaked the scope's confs (entry said eager)"
+    )
+
+
+def test_repart_mode_pins_fanout_joins_by_num(spark, docs, monkeypatch, _restore_fanout_confs):
+    """Repart mode's guarantee lives in the PLAN: the fan-out join inputs
+    carry a REPARTITION_BY_NUM shuffle (AQE never coalesces those — an
+    unpinned repartition(cols) would be REPARTITION_BY_COL, coalescible,
+    which reopens the r9 single-task hole)."""
+    monkeypatch.setenv(cacheutil.LAZY_PLANS_ENV, "1")  # keep the plan inspectable
+    spark.catalog.clearCache()
+    with cacheutil.fanout_mode("repart"):
+        result = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan[:2000]
+    assert "REPARTITION_BY_COL" not in plan, plan[:2000]
+    spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        lambda d: dedup.minhash_dedup_pairs(d, k=3, threshold=0.5),
+        lambda d: dedup.ngram_jaccard_pairs(d, k=2, threshold=0.5),
+        lambda d: dedup.simhash_dup_pairs(d, max_hamming=3),
+        lambda d: curation.contamination_report(d, eval_pct=10, min_common=2),
+        lambda d: dedup.connected_components(
+            dedup.minhash_dedup_pairs(d, k=3, threshold=0.5)
+        ),
+    ],
+    ids=["minhash", "ngram", "simhash", "contamination", "components"],
+)
+def test_fanout_modes_row_identical(spark, docs, op):
+    """scope vs repart is a plan-only choice: every fan-out family member
+    (components included — r10 verdict task 4: it pays through the
+    minhash edge set) returns row-identical output under both."""
+    spark.catalog.clearCache()
+    with cacheutil.fanout_mode("scope"):
+        a = sorted(map(tuple, op(docs).collect()))
+    spark.catalog.clearCache()
+    with cacheutil.fanout_mode("repart"):
+        b = sorted(map(tuple, op(docs).collect()))
+    assert a == b

@@ -110,6 +110,14 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("round", type=int)
     ap.add_argument("--bench-runs", type=int, default=3)
+    ap.add_argument(
+        "--min-healthy",
+        type=int,
+        default=2,
+        help="stop laying bench runs early once this many of this "
+        "close-out's runs self-report HEALTHY calibration (r10 verdict "
+        "#3); --bench-runs stays the maximum either way",
+    )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument(
@@ -187,14 +195,44 @@ def main() -> int:
         return rc
 
     if not args.skip_bench:
+        # r10 verdict #3: stop stacking protective appends.  Each bench
+        # line self-reports host health (notes.vm_calibration, derived
+        # from the raw tpch_q6 run of THAT line); once --min-healthy
+        # runs in this close-out are verified HEALTHY the minima are
+        # protected and further runs are insurance with no payout —
+        # stop.  A degraded host still lays the full --bench-runs
+        # (minima absorb sick runs; skipping them is what hurt round 7).
+        import json as _json
+
+        healthy = 0
         for i in range(args.bench_runs):
-            rc = _run([sys.executable, "bench.py"]).returncode
-            if rc != 0:
+            proc = _run(
+                [sys.executable, "bench.py"], capture_output=True, text=True
+            )
+            sys.stdout.write(proc.stdout)
+            sys.stderr.write(proc.stderr[-2000:])
+            if proc.returncode != 0:
                 print(
-                    f"close_round: bench run {i + 1} FAILED (rc {rc})",
+                    f"close_round: bench run {i + 1} FAILED (rc {proc.returncode})",
                     file=sys.stderr,
                 )
-                return rc
+                return proc.returncode
+            note = ""
+            try:
+                line = proc.stdout.strip().splitlines()[-1]
+                note = _json.loads(line).get("notes", {}).get("vm_calibration", "")
+            except (ValueError, IndexError):
+                pass
+            if "-> HEALTHY" in note:
+                healthy += 1
+                if healthy >= args.min_healthy:
+                    print(
+                        f"close_round: {healthy} verified-HEALTHY bench "
+                        f"runs laid after {i + 1} total — stopping early "
+                        "(r10 verdict #3: no insurance appends)",
+                        flush=True,
+                    )
+                    break
 
     print(
         "\nclose_round: COMPLETE — commit the artifacts:\n"

@@ -417,11 +417,19 @@ def probe_fanout_conf_ab(spark, n_docs: int, rounds: int = 3, sf_dir: str | None
     real documents table instead of the synthetic corpus."""
     from hbase_tohdfs_spark.operators import cacheutil, dedup
 
+    # Both variants HARD-CODED (ADVICE r10): the r9-shipped blanket scope
+    # turned AQE partition coalescing off wholesale; referencing the
+    # shipped FANOUT_CONF_VALUES here would silently alias whatever the
+    # current scope is and the A/B would compare a variant to itself.
     variants = {
-        "blanket": dict(cacheutil.FANOUT_CONF_VALUES),
+        "blanket": {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
         "surgical": {
             "spark.sql.autoBroadcastJoinThreshold": "-1",
             "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
             "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
         },
     }
@@ -437,27 +445,31 @@ def probe_fanout_conf_ab(spark, n_docs: int, rounds: int = 3, sf_dir: str | None
     }
     times: dict = {op: {v: [] for v in variants} for op in ops}
     pair_counts: dict = {op: {} for op in ops}
-    saved_vals, saved_keys = cacheutil.FANOUT_CONF_VALUES, cacheutil.FANOUT_CONF_KEYS
-    try:
+    # Conf injection via the supported hook (ADVICE r10: no module-global
+    # reassignment); the A/B compares conf SCOPES, so pin scope mode —
+    # a repart-mode default would bypass the confs under test.
+    with cacheutil.fanout_mode("scope"):
         for _ in range(rounds):
             for vname, confs in variants.items():
-                cacheutil.FANOUT_CONF_VALUES = confs
-                cacheutil.FANOUT_CONF_KEYS = tuple(confs)
-                for opname, op in ops.items():
-                    spark.catalog.clearCache()
-                    t0 = time.perf_counter()
-                    n = op(docs).count()
-                    times[opname][vname].append(
-                        round(time.perf_counter() - t0, 2)
-                    )
-                    prev = pair_counts[opname].setdefault(vname, n)
-                    assert prev == n, f"{opname}/{vname} nondeterministic"
-    finally:
-        cacheutil.FANOUT_CONF_VALUES = saved_vals
-        cacheutil.FANOUT_CONF_KEYS = saved_keys
+                with cacheutil.fanout_conf_overrides(confs):
+                    for opname, op in ops.items():
+                        spark.catalog.clearCache()
+                        t0 = time.perf_counter()
+                        n = op(docs).count()
+                        times[opname][vname].append(
+                            round(time.perf_counter() - t0, 2)
+                        )
+                        prev = pair_counts[opname].setdefault(vname, n)
+                        if prev != n:
+                            raise RuntimeError(
+                                f"{opname}/{vname} nondeterministic: {prev} vs {n}"
+                            )
     for op in ops:
         a, b = pair_counts[op].get("blanket"), pair_counts[op].get("surgical")
-        assert a == b, f"{op}: pair counts differ across variants ({a} vs {b})"
+        if a != b:
+            raise RuntimeError(
+                f"{op}: pair counts differ across variants ({a} vs {b})"
+            )
     return {
         "probe": f"fanout_conf_ab_{label}",
         "rounds": rounds,
@@ -471,6 +483,81 @@ def probe_fanout_conf_ab(spark, n_docs: int, rounds: int = 3, sf_dir: str | None
             for op, per in times.items()
         },
         "pairs_out": {op: pair_counts[op]["blanket"] for op in ops},
+    }
+
+
+def probe_fanout_mode_ab(
+    spark, n_docs: int, rounds: int = 3, sf_dir: str | None = None
+) -> dict:
+    """r10 verdict task 1: the shipped fan-out strategy A/B — the
+    surgical conf scope ("scope": broadcast off + 16KB AQE coalesce
+    floor) vs the broadcast+pinned-repartition plan ("repart": planner
+    defaults + explicit ``repartition(fanout_width, keys)`` on the
+    fan-out join inputs, a REPARTITION_BY_NUM shuffle AQE never
+    coalesces).  Runs the whole family the bench times — minhash, ngram,
+    simhash, contamination, components (components pays through the
+    minhash edge set, r10 verdict task 4) — at the registry parameters.
+
+    Interleaved per round (scope, repart, scope, ...) so host-throughput
+    drift hits both variants equally; read RATIOS of minima, not walls.
+    Raises RuntimeError unless pair/label counts are identical across
+    variants (a plan-only change by construction)."""
+    from hbase_tohdfs_spark.operators import cacheutil, curation, dedup
+
+    if sf_dir:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        label = f"sf:{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    else:
+        docs = _fanout_ab_corpus(spark, n_docs)
+        label = f"synthetic:{n_docs}"
+    ops = {
+        "minhash": lambda d: dedup.minhash_dedup_pairs(d, k=3, threshold=0.5),
+        "ngram": lambda d: dedup.ngram_jaccard_pairs(d, k=2, threshold=0.5),
+        "simhash": lambda d: dedup.simhash_dup_pairs(d, max_hamming=16),
+        "contamination": lambda d: curation.contamination_report(d),
+        "components": lambda d: dedup.connected_components(
+            dedup.minhash_dedup_pairs(d, k=3, threshold=0.5)
+        ),
+    }
+    modes = ("scope", "repart")
+    times: dict = {op: {m: [] for m in modes} for op in ops}
+    counts: dict = {op: {} for op in ops}
+    for _ in range(rounds):
+        for mode in modes:
+            with cacheutil.fanout_mode(mode):
+                for opname, op in ops.items():
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    n = op(docs).count()
+                    times[opname][mode].append(
+                        round(time.perf_counter() - t0, 2)
+                    )
+                    prev = counts[opname].setdefault(mode, n)
+                    if prev != n:
+                        raise RuntimeError(
+                            f"{opname}/{mode} nondeterministic: {prev} vs {n}"
+                        )
+    for op in ops:
+        a, b = counts[op].get("scope"), counts[op].get("repart")
+        if a != b:
+            raise RuntimeError(
+                f"{op}: row counts differ across modes ({a} vs {b})"
+            )
+    mins = {
+        op: {m: min(ts) for m, ts in per.items()} for op, per in times.items()
+    }
+    return {
+        "probe": f"fanout_mode_ab_{label}",
+        "rounds": rounds,
+        "runs_sec": times,
+        "min_sec": mins,
+        "repart_over_scope": {
+            op: round(per["repart"] / per["scope"], 3) for op, per in mins.items()
+        },
+        "family_total_min_sec": {
+            m: round(sum(mins[op][m] for op in ops), 2) for m in modes
+        },
+        "rows_out": {op: counts[op]["scope"] for op in ops},
     }
 
 
@@ -983,9 +1070,23 @@ def main() -> None:
         print(json.dumps(probe_fanout_conf_ab(spark, 1_000_000, rounds=2)))
     if which == "fanout_ab_smoke":
         print(json.dumps(probe_fanout_conf_ab(spark, 20_000, rounds=1)))
+    if which == "fanout_mode_ab":
+        print(json.dumps(probe_fanout_mode_ab(spark, 0, rounds=3,
+                                              sf_dir="/root/testdata/sf0.1")))
+    if which == "fanout_mode_ab_1m":
+        print(json.dumps(probe_fanout_mode_ab(spark, 1_000_000, rounds=2)))
+    if which == "fanout_mode_ab_smoke":
+        print(json.dumps(probe_fanout_mode_ab(spark, 20_000, rounds=1)))
     if which in ("minhash", "all"):
         print(json.dumps(probe_minhash(spark, 250_000)))
         print(json.dumps(probe_minhash(spark, 1_000_000)))
+    if which == "growth_4m":
+        # r10 verdict task 3: third point on the sub-quadratic
+        # candidate-growth curves (250k / 1M / 4M) for the two
+        # inverted-index dedup families — candidates/doc staying ~flat
+        # across a 16x corpus range is the 100 TB extrapolation evidence.
+        print(json.dumps(probe_ngram(spark, 4_000_000)))
+        print(json.dumps(probe_minhash(spark, 4_000_000)))
     if which in ("components", "all"):
         print(json.dumps(probe_components(spark, 1_000_000)))
     if which in ("embedding", "all"):
