@@ -158,14 +158,16 @@ def contamination_report(
         sh.filter(F.size("sh") > 0)
         .select("doc_id", F.explode(F.array_distinct("sh")).alias("s"))
     )
+    # Repart mode: pin the postings wide at the TOP — the df agg, the
+    # df-cap join, the persist, and the train/eval fan-out join all
+    # reuse the pinned HashPartitioning(s) (one shuffle total, every
+    # fat stage wide; pinning below the df-cap join leaves the explode
+    # + probe chain at the input's width once broadcast is allowed —
+    # the measured 1-task hole).  Identity in scope mode.
+    postings = cacheutil.fanout_repartition(postings, "s")
     dfc = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # Repart mode: pin the df-capped postings wide BEFORE the persist —
-    # train and eval are filters of this one cached frame, so both sides
-    # of the fan-out join inherit the pinned HashPartitioning(s) from
-    # the cache (one shuffle total, zero extra exchanges at any scale;
-    # identity in scope mode — see cacheutil.fanout_repartition).
-    postings = cacheutil.fanout_repartition(
-        postings.join(dfc.filter(F.col("df") <= max_df).select("s"), "s"), "s"
+    postings = postings.join(
+        dfc.filter(F.col("df") <= max_df).select("s"), "s"
     ).persist()
     is_eval = _bucket100("cast(doc_id as string)") < eval_pct
     train = postings.filter(~is_eval).select(

@@ -212,6 +212,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band_idx", "bb.bucket")
+    # Repart mode: pin the bucket frame wide at the TOP (the join
+    # OUTPUT explodes ~f^2 per bucket while its INPUT may compress to
+    # KBs — input-sized planner heuristics are blind to that; see
+    # cacheutil.fanout_repartition).  Above the skew-cap agg AND the
+    # self-join so both reuse the pinned HashPartitioning(band_idx,
+    # bucket) — the cap count needs no exchange of its own and no
+    # upstream stage is left at the input's width.  Identity in scope
+    # mode.
+    buckets = cacheutil.fanout_repartition(buckets, "band_idx", "bucket")
     if max_bucket_size is not None:
         small = (
             buckets.groupBy("band_idx", "bucket")
@@ -220,11 +229,6 @@ def lsh_candidate_pairs(
             .select("band_idx", "bucket")
         )
         buckets = buckets.join(small, ["band_idx", "bucket"])
-    # Repart mode: pin the bucket self-join's input wide (the join
-    # OUTPUT explodes ~f^2 per bucket while its INPUT may compress to
-    # KBs — input-sized planner heuristics are blind to that; see
-    # cacheutil.fanout_repartition).  In scope mode this is identity.
-    buckets = cacheutil.fanout_repartition(buckets, "band_idx", "bucket")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -455,6 +459,18 @@ def ngram_jaccard_pairs(
     postings = sets.select(
         "doc_id", F.size("shset").alias("n_full"), F.explode("shset").alias("s")
     )
+    # Repart mode: pin the width at the TOP of the postings pipeline.
+    # Everything downstream — the df aggregation, the df-cap join, and
+    # the pair self-join — groups/joins on ``s``, so they all reuse the
+    # pinned HashPartitioning(s) with ZERO further exchanges, and every
+    # fat stage runs wide.  Pinning lower (just before the self-join)
+    # was measured 2.7x SLOWER at sf0.1: with broadcast re-enabled the
+    # df-cap join stops forcing an exchange, so the whole explode +
+    # probe chain upstream of the late pin ran at the INPUT's partition
+    # count — one task on a single-file toy corpus, and exactly the
+    # input-width hole this mode exists to close.  Identity in scope
+    # mode (the conf scope provides the width there).
+    postings = cacheutil.fanout_repartition(postings, "s")
     dfc = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     postings = postings.join(dfc.filter(F.col("df") <= max_df), "s")
 
@@ -476,10 +492,6 @@ def ngram_jaccard_pairs(
         )
 
     if not prefix_filter:
-        # Repart mode: pin the postings self-join wide — its output is
-        # sum(df^2) rows off a KB-compressing input (identity in scope
-        # mode; see cacheutil.fanout_repartition).
-        postings = cacheutil.fanout_repartition(postings, "s")
         a, b = postings.alias("a"), postings.alias("b")
         inter = (
             a.join(
