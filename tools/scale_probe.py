@@ -522,10 +522,14 @@ def probe_fanout_mode_ab(
     modes = ("scope", "repart")
     times: dict = {op: {m: [] for m in modes} for op in ops}
     counts: dict = {op: {} for op in ops}
+    # Modes alternate PER OP (scope-minhash, repart-minhash,
+    # scope-ngram, ...), not per block: a block of 5 ops takes minutes,
+    # and this host drifts on that timescale — adjacent pairs keep the
+    # drift inside each op's own comparison.
     for _ in range(rounds):
-        for mode in modes:
-            with cacheutil.fanout_mode(mode):
-                for opname, op in ops.items():
+        for opname, op in ops.items():
+            for mode in modes:
+                with cacheutil.fanout_mode(mode):
                     spark.catalog.clearCache()
                     t0 = time.perf_counter()
                     n = op(docs).count()
