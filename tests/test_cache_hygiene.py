@@ -268,6 +268,32 @@ def test_repart_mode_pins_fanout_joins_by_num(spark, docs, monkeypatch, _restore
     spark.catalog.clearCache()
 
 
+def test_repart_mode_pins_at_top_of_pipeline(spark, docs, monkeypatch, _restore_fanout_confs):
+    """r11 late-pin regression guard: the pin must sit at the TOP of the
+    postings pipeline so the df aggregation and the pair self-join REUSE
+    the pinned HashPartitioning(s).  A pin placed below the df-cap join
+    re-introduces a planner-owned exchange on the shingle key for the df
+    groupBy (ENSURE_REQUIREMENTS origin) and leaves the explode+probe
+    chain at the input's width — the measured 1-task hole (SCALE.md
+    round 11)."""
+    import re
+
+    monkeypatch.setenv(cacheutil.LAZY_PLANS_ENV, "1")
+    spark.catalog.clearCache()
+    with cacheutil.fanout_mode("repart"):
+        result = dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.5)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(
+        r"Exchange hashpartitioning\(([^)]*)\), (\w+)", plan
+    )
+    s_keyed = [orig for cols, orig in exchanges if re.match(r"s#\d+L?,", cols)]
+    assert s_keyed, "no shingle-keyed exchange found — pin missing entirely"
+    assert set(s_keyed) == {"REPARTITION_BY_NUM"}, (
+        f"df agg or self-join planned its own exchange on s: {exchanges}"
+    )
+    spark.catalog.clearCache()
+
+
 @pytest.mark.parametrize(
     "op",
     [
