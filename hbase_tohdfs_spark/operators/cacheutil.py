@@ -168,11 +168,14 @@ def fanout_conf_overrides(values: dict[str, str]):
 
 
 def fanout_width(spark: SparkSession) -> int:
-    """Width for pinned fan-out repartitions: the session shuffle
-    setting (via :func:`clamped_partitions`, so the >=4 floor applies on
-    degenerate test sessions).  On a cluster this follows
+    """Width for pinned fan-out repartitions: exactly the session
     ``spark.sql.shuffle.partitions`` — the same knob every other
-    exchange obeys — so the fan-out join scales with total cores."""
+    exchange obeys — so the fan-out join scales with total cores.
+    The session value is a deliberate TRUE ceiling (ADVICE r4): a
+    1-partition test session gets a 1-wide pin, no floor engages —
+    ``clamped_partitions(spark, 1 << 30)`` is ``min(session,
+    max(4, 1 << 30)) = session`` by construction (ADVICE r11: the
+    earlier docstring wrongly claimed the >=4 floor could apply)."""
     return clamped_partitions(spark, 1 << 30)
 
 
@@ -245,6 +248,18 @@ def scoped_fanout_join_confs(
     if overrides is not None:
         values = overrides
     elif _fanout_conf_overrides is not None:
+        # Ambient overrides exist to A/B conf SCOPES; in repart mode the
+        # pinned repartitions stay active, so the probe would silently
+        # measure confs PLUS pins combined (ADVICE r11).  Refuse loudly:
+        # a conf A/B must pin fanout_mode("scope") around the override.
+        if _fanout_mode == "repart":
+            raise RuntimeError(
+                "ambient fanout_conf_overrides while fanout mode is "
+                "'repart': the pinned repartitions would combine with "
+                "the injected confs and the A/B measures neither — wrap "
+                "the probe in fanout_mode('scope') (or pass overrides= "
+                "explicitly to scoped_fanout_join_confs)"
+            )
         values = _fanout_conf_overrides
     elif _fanout_mode == "repart":
         values = REPART_FANOUT_CONF_VALUES

@@ -225,17 +225,39 @@ def test_scoped_fanout_confs_overrides_param_applies_and_restores(spark):
 
 def test_fanout_conf_overrides_ambient_context(spark):
     """The probe-facing injection hook (ADVICE r10): an ambient override
-    replaces the mode's conf set for scopes entered inside the block."""
+    replaces the mode's conf set for scopes entered inside the block —
+    under scope mode, the only mode a conf A/B is meaningful in."""
     key = "spark.sql.autoBroadcastJoinThreshold"
     before = spark.conf.get(key)
-    with cacheutil.fanout_conf_overrides({key: "54321"}):
-        with cacheutil.scoped_fanout_join_confs(spark):
-            assert spark.conf.get(key) == "54321"
-        assert spark.conf.get(key) == before
-    # outside the override block, scope mode applies its own set again
     with cacheutil.fanout_mode("scope"):
+        with cacheutil.fanout_conf_overrides({key: "54321"}):
+            with cacheutil.scoped_fanout_join_confs(spark):
+                assert spark.conf.get(key) == "54321"
+            assert spark.conf.get(key) == before
+        # outside the override block, scope mode applies its own set again
         with cacheutil.scoped_fanout_join_confs(spark):
             assert spark.conf.get(key) == "-1"
+    assert spark.conf.get(key) == before
+
+
+def test_fanout_conf_overrides_refuse_repart_mode(spark):
+    """ADVICE r11: ambient overrides under repart mode would measure
+    confs PLUS the pinned repartitions combined — the scope must refuse
+    at entry, and must not leave a half-applied conf set behind."""
+    import pytest
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key)
+    with cacheutil.fanout_mode("repart"):
+        with cacheutil.fanout_conf_overrides({key: "54321"}):
+            with pytest.raises(RuntimeError, match="fanout_mode"):
+                with cacheutil.scoped_fanout_join_confs(spark):
+                    pass
+    assert spark.conf.get(key) == before
+    # the explicit overrides= param is the sanctioned repart-mode escape
+    with cacheutil.fanout_mode("repart"):
+        with cacheutil.scoped_fanout_join_confs(spark, overrides={key: "777"}):
+            assert spark.conf.get(key) == "777"
     assert spark.conf.get(key) == before
 
 

@@ -106,3 +106,25 @@ def test_vm_health_note_wording():
     assert "HEALTHY" in note and "DEGRADED" not in note
     note = bench.vm_health_note(1.2)
     assert "DEGRADED" in note and "not" in note  # carries the attribution
+
+
+def test_vm_health_note_two_axes():
+    # ADVICE r11 medium: the note's verdict must cover BOTH degradation
+    # shapes.  Scan healthy + shuffle sick (the r9 blind spot) and scan
+    # sick + shuffle healthy (observed r12) are both DEGRADED; the
+    # "-> HEALTHY" token close_round greps only appears when both axes
+    # are under their floors.
+    healthy_q6 = bench.VM_HEALTHY_Q6_MIN
+    healthy_sh = bench.VM_HEALTHY_SHUFFLE_MIN
+    sick_sh = healthy_sh * bench.VM_HEALTHY_FACTOR * 2
+    sick_q6 = healthy_q6 * bench.VM_HEALTHY_FACTOR * 2
+
+    note = bench.vm_health_note(healthy_q6, healthy_sh)
+    assert "-> HEALTHY" in note and "shuffle axis" in note
+    note = bench.vm_health_note(healthy_q6, sick_sh)
+    assert "-> DEGRADED" in note and "-> HEALTHY" not in note
+    note = bench.vm_health_note(sick_q6, healthy_sh)
+    assert "-> DEGRADED" in note and "-> HEALTHY" not in note
+    # one-axis fallback (burn probe failed): still a usable verdict
+    note = bench.vm_health_note(healthy_q6, None)
+    assert "-> HEALTHY" in note and "shuffle axis" not in note
