@@ -631,13 +631,31 @@ def simhash(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    Scale path: block on 4 16-bit chunks (a pair within Hamming<=3 of 60
+    Scale path: block on 4 15-bit chunks (a pair within Hamming<=3 of 60
     bits must agree exactly on >= 1 of the 4 chunks — pigeonhole), join
     per chunk, then verify with bit_count.  This keeps the self-join
     keyed instead of O(n^2).
+
+    Asymptotics (measured, SCALE.md r12 growth curves): chunk blocking
+    cuts the verify mass by a CONSTANT (~1.3e3 vs all-pairs on the probe
+    corpus; 2^15 for uniform fingerprints) but random chunk collisions
+    keep the candidate volume Theta(n^2) — the n^2-normalized slope sat
+    flat at 7.4e-4 from 250k to 4M docs.  At corpus scale, either widen
+    the fingerprint (128-bit simhash with 4x32-bit chunks puts the
+    collision rate at 2^-32) or bound the per-key join mass with
+    ``max_bucket``: chunk buckets holding more than that many docs are
+    dropped before the self-join, exactly the
+    :data:`DEDUP_MAX_BUCKET` guard the MinHash path ships.  Recall
+    note: a dropped mega-bucket only loses a pair if that chunk was the
+    pair's ONLY agreement — for ``max_hamming <= 3`` the pigeonhole
+    guarantee degrades gracefully (such buckets are near-identical
+    boilerplate better handled by exact dedup upstream); default None
+    preserves the exact blocked semantics the oracle replays.
     """
     s = simhash(docs).persist()  # self-joined below: compute the 60 bit votes once
     chunks = s.select(
@@ -659,6 +677,17 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).select("doc_id", "simhash", "cc.chunk_idx", "cc.chunk")
     # Repart mode: pin the chunk self-join wide (identity in scope mode)
     chunks = cacheutil.fanout_repartition(chunks, "chunk_idx", "chunk")
+    if max_bucket is not None:
+        # Per-key join-mass bound: the semi-join keeps only buckets at
+        # or under the cap; it groups on the SAME keys as the pinned
+        # repartition above, so no extra exchange on the postings side.
+        kept = (
+            chunks.groupBy("chunk_idx", "chunk")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= max_bucket)
+            .select("chunk_idx", "chunk")
+        )
+        chunks = chunks.join(kept, ["chunk_idx", "chunk"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -673,12 +702,20 @@ def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("a.simhash").alias("sa"),
             F.col("b.simhash").alias("sb"),
         )
+    )
+    # Verify BEFORE deduplicating multi-chunk collisions: the hamming
+    # predicate is row-deterministic, so it commutes with distinct(),
+    # and running it map-side on the join output means the distinct
+    # shuffles only the surviving near-dups instead of the full
+    # chunk-collision mass (random 60-bit pairs pass hamming<=16 at
+    # ~1e-4 — the old distinct-first order shuffled ~10^4x more rows;
+    # at 1M probe docs that is ~6e7 candidates vs ~6e3 survivors).
+    hamming = F.expr("bit_count(sa ^ sb)")
+    pairs = (
+        cand.select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = F.expr("bit_count(sa ^ sb)")
-    pairs = cand.select(
-        "doc_id_a", "doc_id_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
     with cacheutil.scoped_fanout_join_confs(docs.sparkSession):
         return cacheutil.materialize_and_release(pairs, s)
 

@@ -216,6 +216,31 @@ def test_simhash_pairs_hamming(spark, docs):
     # single token legitimately flips many bits, so no presence assertion.
 
 
+def test_simhash_pairs_bucket_cap(spark, docs):
+    """The max_bucket guard (SCALE.md r12: chunk blocking is Theta(n^2)
+    in random collisions, so corpus-scale callers bound per-key join
+    mass).  Identical docs collide in ALL 4 chunks, so capping can only
+    lose a pair if every one of its shared chunks is a mega-bucket:
+    with a cap of 1 every bucket holding the duplicated docs drops and
+    the pair disappears; with a cap at corpus size nothing changes."""
+    base = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.simhash_dup_pairs(docs, max_hamming=3).collect()
+    }
+    uncapped = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.simhash_dup_pairs(
+            docs, max_hamming=3, max_bucket=1_000_000
+        ).collect()
+    }
+    assert uncapped == base  # a never-binding cap is semantics-identical
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.simhash_dup_pairs(docs, max_hamming=3, max_bucket=1).collect()
+    }
+    assert (1, 2) in base and (1, 2) not in capped
+
+
 def test_ngram_jaccard_exact_and_near(docs):
     pairs = dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.5).collect()
     found = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in pairs}

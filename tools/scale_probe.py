@@ -565,6 +565,174 @@ def probe_fanout_mode_ab(
     }
 
 
+def _growth_corpus(spark, n_docs: int):
+    """The shared candidate-growth corpus shape (probe_ngram /
+    probe_minhash): 5% planted exact-text dups, 2 boilerplate tokens in
+    every doc, 10 content tokens from a 400k vocabulary."""
+    n_uniq = n_docs - n_docs // 20
+    docs = spark.range(n_docs).selectExpr(
+        "id as doc_id", f"pmod(id, {n_uniq}) as src"
+    ).selectExpr(
+        "doc_id",
+        "concat_ws(' ', 'the', 'data', transform(sequence(0, 9), i ->"
+        " concat('w', pmod(hash(src * 13 + 7, i), 400000)))) as text",
+    )
+    return docs, n_uniq
+
+
+def probe_simhash_growth(
+    spark, n_docs: int, run_operator: bool = True
+) -> dict:
+    """r11 verdict task 3: the chunk-collision candidate curve for
+    simhash_dup_pairs.  Measures the exact join mass the 4x15-bit chunk
+    blocking emits (sum over (chunk_idx, chunk) groups of C(cnt, 2) —
+    counted from the signature frame, no join needed) vs corpus size,
+    plus the end-to-end operator wall and the planted-dup recall
+    invariant (exact-text dups share all 4 chunks, so every planted
+    pair MUST appear in pairs_out at hamming 0)."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import dedup
+
+    docs, n_uniq = _growth_corpus(spark, n_docs)
+    s = dedup.simhash(docs).persist()
+    chunk_counts = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"struct({c} as chunk_idx,"
+                        f" cast(shiftright(simhash, {c * 15}) & 32767L as int)"
+                        " as chunk)"
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc")
+    ).groupBy("cc").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = chunk_counts.agg(
+        F.sum(F.expr("cnt * (cnt - 1) / 2")).alias("candidates"),
+        F.max("cnt").alias("max_bucket"),
+    ).collect()[0]
+    s.unpersist()
+    candidates = int(stats["candidates"])
+    out = {
+        "probe": f"simhash_growth_{n_docs}",
+        "n_docs": n_docs,
+        "n_planted_dup_docs": n_docs // 20,
+        "chunk_candidates": candidates,
+        "candidates_per_doc": round(candidates / n_docs, 2),
+        "candidates_per_n2": float(
+            f"{candidates / (n_docs * (n_docs - 1) / 2):.2e}"
+        ),
+        "max_chunk_bucket": int(stats["max_bucket"]),
+    }
+    if run_operator:
+        t0 = time.perf_counter()
+        pairs = dedup.simhash_dup_pairs(docs, max_hamming=16).persist()
+        n_pairs = pairs.count()
+        op_sec = time.perf_counter() - t0
+        planted = spark.range(n_docs // 20).selectExpr(
+            "id as doc_id_a", f"id + {n_uniq} as doc_id_b"
+        )
+        missed = planted.join(
+            pairs, ["doc_id_a", "doc_id_b"], "left_anti"
+        ).count()
+        pairs.unpersist()
+        out.update(
+            pairs_out=n_pairs,
+            planted_pairs_missed=missed,
+            operator_sec=round(op_sec, 2),
+        )
+    return out
+
+
+def probe_contamination_growth(
+    spark, n_docs: int, run_operator: bool = True
+) -> dict:
+    """r11 verdict task 3: the postings-join-volume curve for
+    contamination_report.  The inverted-index join emits exactly
+    sum over df-capped shingles of f_train(s) * f_eval(s) rows —
+    counted from the postings frame at the operator's own parameters
+    (eval_pct=4, k=2, max_df=1000) — plus the overlap invariant: every
+    planted exact-dup pair that straddles the train/eval split MUST be
+    reported (n_common = the doc's distinct uncapped bigrams >= 3)."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import curation
+    from hbase_tohdfs_spark.operators.text import shingle_docs
+
+    eval_pct, k, max_df = 4, 2, 1000
+    docs, n_uniq = _growth_corpus(spark, n_docs)
+    is_eval = curation._bucket100("cast(doc_id as string)") < eval_pct
+    postings = (
+        shingle_docs(docs, k)
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct("sh")).alias("s"),
+            is_eval.alias("ev"),
+        )
+    )
+    per_shingle = postings.groupBy("s").agg(
+        F.sum(F.expr("if(ev, 0, 1)")).alias("f_train"),
+        F.sum(F.expr("if(ev, 1, 0)")).alias("f_eval"),
+    )
+    stats = per_shingle.agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN f_train + f_eval <= {max_df}"
+                " THEN f_train * f_eval ELSE 0 END"
+            )
+        ).alias("join_rows_capped"),
+        F.sum(F.expr("f_train * f_eval")).alias("join_rows_uncapped"),
+        F.max(F.expr("f_train + f_eval")).alias("max_df_seen"),
+    ).collect()[0]
+    join_rows = int(stats["join_rows_capped"])
+    out = {
+        "probe": f"contamination_growth_{n_docs}",
+        "n_docs": n_docs,
+        "eval_pct": eval_pct,
+        "join_rows_capped": join_rows,
+        "join_rows_uncapped": int(stats["join_rows_uncapped"]),
+        "join_rows_per_doc": round(join_rows / n_docs, 2),
+        "join_rows_per_n2": float(
+            f"{join_rows / (n_docs * (n_docs - 1) / 2):.2e}"
+        ),
+        "max_df_seen": int(stats["max_df_seen"]),
+    }
+    if run_operator:
+        # planted cross-split contamination: exact-dup pairs (i, i+n_uniq)
+        # with exactly one side in the eval bucket; the train side must
+        # appear in the report (its top-1 might be another eval dup of
+        # the same src, so membership — not pair equality — is asserted)
+        planted = spark.range(n_docs // 20).selectExpr(
+            "id as a", f"id + {n_uniq} as b"
+        )
+        ev = lambda c: curation._bucket100(f"cast({c} as string)") < eval_pct  # noqa: E731
+        expected_train = planted.select(
+            F.when(~ev("a") & ev("b"), F.col("a"))
+            .when(ev("a") & ~ev("b"), F.col("b"))
+            .alias("doc_id")
+        ).filter(F.col("doc_id").isNotNull())
+        t0 = time.perf_counter()
+        report = curation.contamination_report(
+            docs, eval_pct=eval_pct, k=k, max_df=max_df
+        ).persist()
+        n_report = report.count()
+        op_sec = time.perf_counter() - t0
+        n_expected = expected_train.count()
+        missed = expected_train.join(report, "doc_id", "left_anti").count()
+        report.unpersist()
+        out.update(
+            report_rows=n_report,
+            planted_contaminated_train_docs=n_expected,
+            planted_missed=missed,
+            operator_sec=round(op_sec, 2),
+        )
+    return out
+
+
 def _components_loop_r11(pairs, hops: int = 3):
     """The r11 connected_components loop, hard-coded as the A/B control
     arm (same precedent as the blanket/surgical variants in
@@ -1241,6 +1409,18 @@ def main() -> None:
         print(json.dumps(probe_minhash(spark, 4_000_000)))
     if which in ("components", "all"):
         print(json.dumps(probe_components(spark, 1_000_000)))
+    if which == "simhash_growth":
+        print(json.dumps(probe_simhash_growth(spark, 250_000)))
+        print(json.dumps(probe_simhash_growth(spark, 1_000_000)))
+        print(json.dumps(probe_simhash_growth(spark, 4_000_000)))
+    if which == "simhash_growth_smoke":
+        print(json.dumps(probe_simhash_growth(spark, 20_000)))
+    if which == "contamination_growth":
+        print(json.dumps(probe_contamination_growth(spark, 250_000)))
+        print(json.dumps(probe_contamination_growth(spark, 1_000_000)))
+        print(json.dumps(probe_contamination_growth(spark, 4_000_000)))
+    if which == "contamination_growth_smoke":
+        print(json.dumps(probe_contamination_growth(spark, 20_000)))
     if which == "components_loop_ab":
         print(json.dumps(probe_components_loop_ab(spark, rounds=3)))
     if which == "components_loop_ab_deep":
