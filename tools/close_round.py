@@ -196,12 +196,15 @@ def main() -> int:
 
     if not args.skip_bench:
         # r10 verdict #3: stop stacking protective appends.  Each bench
-        # line self-reports host health (notes.vm_calibration, derived
-        # from the raw tpch_q6 run of THAT line); once --min-healthy
-        # runs in this close-out are verified HEALTHY the minima are
-        # protected and further runs are insurance with no payout —
-        # stop.  A degraded host still lays the full --bench-runs
-        # (minima absorb sick runs; skipping them is what hurt round 7).
+        # line self-reports host health (notes.vm_calibration — BOTH
+        # axes since r12/ADVICE r11: the scan axis from THAT line's raw
+        # tpch_q6 plus a live shuffle burn, so a scan-HEALTHY/
+        # shuffle-sick run no longer counts toward the early stop); once
+        # --min-healthy runs in this close-out are verified HEALTHY the
+        # minima are protected and further runs are insurance with no
+        # payout — stop.  A degraded host still lays the full
+        # --bench-runs (minima absorb sick runs; skipping them is what
+        # hurt round 7).
         import json as _json
 
         healthy = 0
