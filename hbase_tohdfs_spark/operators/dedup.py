@@ -706,10 +706,11 @@ def simhash_dup_pairs(
     # Verify BEFORE deduplicating multi-chunk collisions: the hamming
     # predicate is row-deterministic, so it commutes with distinct(),
     # and running it map-side on the join output means the distinct
-    # shuffles only the surviving near-dups instead of the full
-    # chunk-collision mass (random 60-bit pairs pass hamming<=16 at
-    # ~1e-4 — the old distinct-first order shuffled ~10^4x more rows;
-    # at 1M probe docs that is ~6e7 candidates vs ~6e3 survivors).
+    # shuffles only survivors instead of the full chunk-collision mass.
+    # The cut is corpus-dependent — uniform 60-bit fingerprints pass
+    # hamming<=16 at ~1e-4, while the adversarially-clustered r12 growth
+    # corpus measured 369M candidates -> 66.5M survivors (5.5x) at 1M
+    # docs — but the filter can only ever shrink the distinct's input.
     hamming = F.expr("bit_count(sa ^ sb)")
     pairs = (
         cand.select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
