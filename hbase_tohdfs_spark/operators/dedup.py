@@ -586,95 +586,140 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 60
 
 
-def simhash(docs: DataFrame) -> DataFrame:
-    """60-bit SimHash over tokens (frequency-weighted), Charikar '02.
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over tokens (frequency-weighted), Charikar '02.
 
     For each bit b: vote = sum over tokens of ((hash(t)>>b)&1)*2-1; the
     fingerprint sets bit b when the vote is positive.
 
-    Formulation: explode tokens -> one 60-bit token hash -> groupBy
-    (doc_id) with 60 codegen ``sum`` votes -> fingerprint assembly.
-    Round 2 kept the shuffle-free array-lambda form on a 5k-doc warm
-    measurement; re-measured at 500k docs the interpreted ``aggregate``
-    lambdas (60 per doc, evaluated per token) cost 171s vs 48s for the
-    codegen agg — and the agg form now wins at 5k too (1.0s vs 1.8s).
-    The groupBy shuffle moves one partial-agg row of 60 longs per doc
-    per map partition, far below the token arrays themselves, so the
-    shape holds at corpus scale (SCALE.md round-7).
+    ``bits=60`` (default): one ``simhash`` long from the first 15 md5
+    hex chars per token — identical output to every prior round.
+    ``bits=120``: adds ``simhash_hi`` (bits 60-119) voted from md5 hex
+    chars 17-31 — the wide fingerprint SCALE.md r12 documents as the
+    corpus-scale mitigation for chunk-collision growth (32-bit-class
+    chunks put the random collision rate at ~2^-30 instead of 2^-15).
+    Both halves stay 60-bit so the sign bit is never touched and the
+    all-long arithmetic below holds unchanged.
+
+    Formulation: explode tokens -> one 60-bit token hash per half ->
+    groupBy (doc_id) with ``bits`` codegen ``sum`` votes -> fingerprint
+    assembly.  Round 2 kept the shuffle-free array-lambda form on a
+    5k-doc warm measurement; re-measured at 500k docs the interpreted
+    ``aggregate`` lambdas (60 per doc, evaluated per token) cost 171s vs
+    48s for the codegen agg — and the agg form now wins at 5k too (1.0s
+    vs 1.8s).  The groupBy shuffle moves one partial-agg row of ``bits``
+    longs per doc per map partition, far below the token arrays
+    themselves, so the shape holds at corpus scale (SCALE.md round-7).
 
     All-long arithmetic: shiftright(h, 0) exceeds int range, and ANSI
     mode turns a narrowing cast into a hard error.
     """
+    if bits not in (SIMHASH_BITS, 2 * SIMHASH_BITS):
+        raise ValueError(f"bits must be {SIMHASH_BITS} or {2 * SIMHASH_BITS}, got {bits}")
+    hashes = [
+        F.expr("cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)").alias("h0")
+    ]
+    if bits == 2 * SIMHASH_BITS:
+        hashes.append(
+            F.expr("cast(conv(substr(md5(t), 17, 15), 16, 10) as bigint)").alias("h1")
+        )
     ex = (
         with_tokens(docs)
         .filter(F.size("tokens") > 0)
         .select("doc_id", F.explode("tokens").alias("t"))
-        .select(
-            "doc_id",
-            F.expr(
-                "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
-            ).alias("h"),
-        )
+        .select("doc_id", *hashes)
     )
     votes = [
-        F.sum(F.expr(f"(shiftright(h, {b}) & 1L) * 2L - 1L")).alias(f"v{b}")
-        for b in range(SIMHASH_BITS)
+        F.sum(
+            F.expr(
+                f"(shiftright(h{b // SIMHASH_BITS}, {b % SIMHASH_BITS}) & 1L) * 2L - 1L"
+            )
+        ).alias(f"v{b}")
+        for b in range(bits)
     ]
-    fp = " + ".join(
-        f"(CASE WHEN v{b} > 0 THEN shiftleft(1L, {b}) ELSE 0L END)"
-        for b in range(SIMHASH_BITS)
-    )
-    return (
-        ex.groupBy("doc_id")
-        .agg(*votes)
-        .select("doc_id", F.expr(fp).alias("simhash"))
-    )
+
+    def _fp(lo: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN v{b} > 0 THEN shiftleft(1L, {b - lo}) ELSE 0L END)"
+            for b in range(lo, lo + SIMHASH_BITS)
+        )
+
+    out = [F.expr(_fp(0)).alias("simhash")]
+    if bits == 2 * SIMHASH_BITS:
+        out.append(F.expr(_fp(SIMHASH_BITS)).alias("simhash_hi"))
+    return ex.groupBy("doc_id").agg(*votes).select("doc_id", *out)
 
 
 def simhash_dup_pairs(
-    docs: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    Scale path: block on 4 15-bit chunks (a pair within Hamming<=3 of 60
-    bits must agree exactly on >= 1 of the 4 chunks — pigeonhole), join
-    per chunk, then verify with bit_count.  This keeps the self-join
-    keyed instead of O(n^2).
+    Scale path: block on 4 disjoint chunks (a pair within Hamming<=3
+    must agree exactly on >= 1 of the 4 chunks — pigeonhole), join per
+    chunk, then verify with bit_count.  This keeps the self-join keyed
+    instead of O(n^2).
 
     Asymptotics (measured, SCALE.md r12 growth curves): chunk blocking
     cuts the verify mass by a CONSTANT (~1.3e3 vs all-pairs on the probe
-    corpus; 2^15 for uniform fingerprints) but random chunk collisions
-    keep the candidate volume Theta(n^2) — the n^2-normalized slope sat
-    flat at 7.4e-4 from 250k to 4M docs.  At corpus scale, either widen
-    the fingerprint (128-bit simhash with 4x32-bit chunks puts the
-    collision rate at 2^-32) or bound the per-key join mass with
-    ``max_bucket``: chunk buckets holding more than that many docs are
-    dropped before the self-join, exactly the
-    :data:`DEDUP_MAX_BUCKET` guard the MinHash path ships.  Recall
-    note: a dropped mega-bucket only loses a pair if that chunk was the
-    pair's ONLY agreement — for ``max_hamming <= 3`` the pigeonhole
-    guarantee degrades gracefully (such buckets are near-identical
-    boilerplate better handled by exact dedup upstream); default None
-    preserves the exact blocked semantics the oracle replays.
+    corpus; 2^15 for uniform 60-bit fingerprints) but random chunk
+    collisions keep the candidate volume Theta(n^2) — the n^2-normalized
+    slope sat flat at 7.4e-4 from 250k to 4M docs.  Two shipped
+    mitigations for corpus scale:
+
+    * ``bits=120`` — widen the fingerprint (4x30-bit chunks put the
+      random collision rate at 2^-30, a ~2^15 cut in the n^2
+      coefficient) while the pigeonhole guarantee at ``max_hamming <= 3``
+      is unchanged.  Costs one extra long per doc in the signature
+      shuffle and 60 more codegen vote columns in the agg.
+    * ``max_bucket`` — bound the per-key join mass directly: chunk
+      buckets holding more than that many docs are dropped before the
+      self-join, exactly the :data:`DEDUP_MAX_BUCKET` guard the MinHash
+      path ships.  Recall note: a dropped mega-bucket only loses a pair
+      if that chunk was the pair's ONLY agreement — for
+      ``max_hamming <= 3`` the pigeonhole guarantee degrades gracefully
+      (such buckets are near-identical boilerplate better handled by
+      exact dedup upstream).
+
+    Defaults (60 bits, no cap) preserve the exact blocked semantics the
+    registry oracle replays.
     """
-    s = simhash(docs).persist()  # self-joined below: compute the 60 bit votes once
+    wide = bits == 2 * SIMHASH_BITS
+    sig = ["simhash", "simhash_hi"] if wide else ["simhash"]
+    if wide:
+        # 4 x 30-bit chunks, two per 60-bit half; & stays in long space
+        chunk_exprs = [
+            f"cast(shiftright({col}, {sh}) & {(1 << 30) - 1}L as int)"
+            for col, sh in (
+                ("simhash", 0),
+                ("simhash", 30),
+                ("simhash_hi", 0),
+                ("simhash_hi", 30),
+            )
+        ]
+    else:
+        chunk_exprs = [
+            f"cast(shiftright(simhash, {c * 15}) & 32767L as int)" for c in range(4)
+        ]
+    s = simhash(docs, bits=bits).persist()  # self-joined below: compute the bit votes once
     chunks = s.select(
         "doc_id",
-        "simhash",
+        *sig,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.expr(
-                            f"cast(shiftright(simhash, {c * 15}) & 32767L as int)"
-                        ).alias("chunk"),
+                        F.expr(e).alias("chunk"),
                     )
-                    for c in range(4)
+                    for c, e in enumerate(chunk_exprs)
                 ]
             )
         ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk_idx", "cc.chunk")
+    ).select("doc_id", *sig, "cc.chunk_idx", "cc.chunk")
     # Repart mode: pin the chunk self-join wide (identity in scope mode)
     chunks = cacheutil.fanout_repartition(chunks, "chunk_idx", "chunk")
     if max_bucket is not None:
@@ -689,6 +734,15 @@ def simhash_dup_pairs(
         )
         chunks = chunks.join(kept, ["chunk_idx", "chunk"], "left_semi")
     a, b = chunks.alias("a"), chunks.alias("b")
+    sig_out = [
+        F.col("a.simhash").alias("sa"),
+        F.col("b.simhash").alias("sb"),
+    ]
+    if wide:
+        sig_out += [
+            F.col("a.simhash_hi").alias("sa_hi"),
+            F.col("b.simhash_hi").alias("sb_hi"),
+        ]
     cand = (
         a.join(
             b,
@@ -699,8 +753,7 @@ def simhash_dup_pairs(
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
+            *sig_out,
         )
     )
     # Verify BEFORE deduplicating multi-chunk collisions: the hamming
@@ -711,7 +764,11 @@ def simhash_dup_pairs(
     # hamming<=16 at ~1e-4, while the adversarially-clustered r12 growth
     # corpus measured 369M candidates -> 66.5M survivors (5.5x) at 1M
     # docs — but the filter can only ever shrink the distinct's input.
-    hamming = F.expr("bit_count(sa ^ sb)")
+    hamming = (
+        F.expr("bit_count(sa ^ sb) + bit_count(sa_hi ^ sb_hi)")
+        if wide
+        else F.expr("bit_count(sa ^ sb)")
+    )
     pairs = (
         cand.select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

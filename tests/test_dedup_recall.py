@@ -174,3 +174,54 @@ def test_simhash_blocking_is_complete(spark, corpus):
     # would be lost by a broken chunk split, so require a few
     nonzero = [p for p in brute if fps[p[0]] != fps[p[1]]]
     assert len(brute) >= 5 and len(nonzero) >= 1, (len(brute), len(nonzero))
+
+
+def test_simhash_wide_low_bits_match_narrow(spark, corpus):
+    """bits=120 is a strict extension: its low 60 bits are voted from the
+    same token hashes as the default fingerprint, so the ``simhash``
+    column must be identical doc-for-doc."""
+    narrow = {r["doc_id"]: r["simhash"] for r in dedup.simhash(corpus).collect()}
+    wide = {
+        r["doc_id"]: (r["simhash"], r["simhash_hi"])
+        for r in dedup.simhash(corpus, bits=120).collect()
+    }
+    assert set(narrow) == set(wide)
+    assert all(wide[d][0] == narrow[d] for d in narrow)
+    # the high half must carry real signal (not all-zero / all-equal)
+    assert len({hi for _, hi in wide.values()}) > len(wide) // 2
+
+
+def test_simhash_wide_blocking_is_complete(spark, corpus):
+    """120-bit pigeonhole: blocked pairs at bits=120 == brute-force
+    all-pairs filter on hamming(low)+hamming(high) <= 3.  Same exactness
+    claim as the 60-bit test, measured on the wide chunk layout
+    (4 x 30-bit, two chunks per 60-bit half)."""
+    fps = {
+        r["doc_id"]: (r["simhash"], r["simhash_hi"])
+        for r in dedup.simhash(corpus, bits=120).collect()
+    }
+    ids = sorted(fps)
+    brute = set()
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            ham = bin(fps[da][0] ^ fps[db][0]).count("1") + bin(
+                fps[da][1] ^ fps[db][1]
+            ).count("1")
+            if ham <= 3:
+                brute.add((da, db))
+    blocked = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.simhash_dup_pairs(corpus, max_hamming=3, bits=120).collect()
+    }
+    assert blocked == brute
+    # exercise the claim: the 120-bit filter is strictly harsher than the
+    # 60-bit one on this corpus (more bits to disagree on), but planted
+    # exact-structure dups must still surface
+    assert len(brute) >= 1, len(brute)
+
+
+def test_simhash_bits_validation(corpus):
+    with pytest.raises(ValueError):
+        dedup.simhash(corpus, bits=64)
+    with pytest.raises(ValueError):
+        dedup.simhash_dup_pairs(corpus, bits=128)

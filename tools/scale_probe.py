@@ -647,6 +647,82 @@ def probe_simhash_growth(
     return out
 
 
+def probe_simhash_wide_growth(
+    spark, n_docs: int, run_operator: bool = True
+) -> dict:
+    """r12: the collision-collapse evidence for ``bits=120``.  SCALE.md's
+    simhash growth table showed 4x15-bit chunk blocking is Theta(n^2)
+    (n^2-slope flat at 7.4e-4) and named the wide fingerprint as the
+    corpus-scale mitigation; this probe MEASURES that mitigation on the
+    SAME corpus shape and scales as probe_simhash_growth, so the two
+    curves are directly comparable row for row.  The candidate mass is
+    the 4x30-bit chunk join volume (sum of C(cnt, 2) per (chunk_idx,
+    chunk) group, counted from the signature frame — no join needed);
+    the recall invariant is unchanged (planted exact-text dups share
+    both 60-bit halves, so every planted pair appears at hamming 0)."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import dedup
+
+    docs, n_uniq = _growth_corpus(spark, n_docs)
+    s = dedup.simhash(docs, bits=120).persist()
+    chunk_specs = [
+        ("simhash", 0),
+        ("simhash", 30),
+        ("simhash_hi", 0),
+        ("simhash_hi", 30),
+    ]
+    chunk_counts = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"struct({c} as chunk_idx,"
+                        f" cast(shiftright({col}, {sh}) & {(1 << 30) - 1}L as int)"
+                        " as chunk)"
+                    )
+                    for c, (col, sh) in enumerate(chunk_specs)
+                ]
+            )
+        ).alias("cc")
+    ).groupBy("cc").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = chunk_counts.agg(
+        F.sum(F.expr("cnt * (cnt - 1) / 2")).alias("candidates"),
+        F.max("cnt").alias("max_bucket"),
+    ).collect()[0]
+    s.unpersist()
+    candidates = int(stats["candidates"])
+    out = {
+        "probe": f"simhash_wide_growth_{n_docs}",
+        "n_docs": n_docs,
+        "n_planted_dup_docs": n_docs // 20,
+        "chunk_candidates": candidates,
+        "candidates_per_doc": round(candidates / n_docs, 2),
+        "candidates_per_n2": float(
+            f"{candidates / (n_docs * (n_docs - 1) / 2):.2e}"
+        ),
+        "max_chunk_bucket": int(stats["max_bucket"]),
+    }
+    if run_operator:
+        t0 = time.perf_counter()
+        pairs = dedup.simhash_dup_pairs(docs, max_hamming=3, bits=120).persist()
+        n_pairs = pairs.count()
+        op_sec = time.perf_counter() - t0
+        planted = spark.range(n_docs // 20).selectExpr(
+            "id as doc_id_a", f"id + {n_uniq} as doc_id_b"
+        )
+        missed = planted.join(
+            pairs, ["doc_id_a", "doc_id_b"], "left_anti"
+        ).count()
+        pairs.unpersist()
+        out.update(
+            pairs_out=n_pairs,
+            planted_pairs_missed=missed,
+            operator_sec=round(op_sec, 2),
+        )
+    return out
+
+
 def probe_contamination_growth(
     spark, n_docs: int, run_operator: bool = True
 ) -> dict:
@@ -1415,6 +1491,12 @@ def main() -> None:
         print(json.dumps(probe_simhash_growth(spark, 4_000_000)))
     if which == "simhash_growth_smoke":
         print(json.dumps(probe_simhash_growth(spark, 20_000)))
+    if which == "simhash_wide_growth":
+        print(json.dumps(probe_simhash_wide_growth(spark, 250_000)))
+        print(json.dumps(probe_simhash_wide_growth(spark, 1_000_000)))
+        print(json.dumps(probe_simhash_wide_growth(spark, 4_000_000)))
+    if which == "simhash_wide_growth_smoke":
+        print(json.dumps(probe_simhash_wide_growth(spark, 20_000)))
     if which == "contamination_growth":
         print(json.dumps(probe_contamination_growth(spark, 250_000)))
         print(json.dumps(probe_contamination_growth(spark, 1_000_000)))
