@@ -220,6 +220,32 @@ def test_simhash_wide_blocking_is_complete(spark, corpus):
     assert len(brute) >= 1, len(brute)
 
 
+def test_simhash_wide_adds_no_exchanges(spark, corpus):
+    """bits=120 costs 60 extra codegen vote columns, NOT shuffles: the
+    signature plan keeps exactly one exchange (the doc_id partial->final
+    agg) at either width, so the wide fingerprint's scale cost is the
+    wider agg row — the shuffle structure is identical."""
+    import contextlib
+    import io
+
+    def n_exchanges(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        # formatted explain names each node in the tree AND in the
+        # details section; counting tree rows only ("(N) Exchange")
+        # keeps the number a node count
+        return sum(
+            1
+            for line in buf.getvalue().splitlines()
+            if ") Exchange" in line and "Reuse" not in line
+        )
+
+    narrow = n_exchanges(dedup.simhash(corpus))
+    wide = n_exchanges(dedup.simhash(corpus, bits=120))
+    assert narrow == wide == 1, (narrow, wide)
+
+
 def test_simhash_bits_validation(corpus):
     with pytest.raises(ValueError):
         dedup.simhash(corpus, bits=64)
