@@ -723,6 +723,112 @@ def probe_simhash_wide_growth(
     return out
 
 
+def _simhash_pairs_r11_order(docs, max_hamming: int):
+    """The r11 simhash pairs pipeline (distinct on the candidate rows
+    BEFORE the hamming verify), hard-coded as the A/B control arm the
+    same way _components_loop_r11 preserves the r11 loop."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import cacheutil, dedup
+
+    s = dedup.simhash(docs).persist()
+    chunks = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.expr(
+                            f"cast(shiftright(simhash, {c * 15}) & 32767L as int)"
+                        ).alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk_idx", "cc.chunk")
+    chunks = cacheutil.fanout_repartition(chunks, "chunk_idx", "chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sa ^ sb)")
+    pairs = cand.select(
+        "doc_id_a", "doc_id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+    with cacheutil.scoped_fanout_join_confs(docs.sparkSession):
+        return cacheutil.materialize_and_release(pairs, s)
+
+
+def probe_simhash_verify_order_ab(
+    spark, rounds: int = 3, sf_dir: str = "/root/testdata/sf0.1"
+) -> dict:
+    """Isolate the r12 verify-first simhash change (hamming filter
+    BEFORE the multi-chunk distinct) against the r11 distinct-first
+    ordering, interleaved min-of-N at registry parameters
+    (max_hamming=16 on sf documents).  Why: the r12/r11 bench pools
+    read simhash 1.19x at near-matched q6 floors, but the
+    behavior-identical siblings (minhash/ngram/contamination) read
+    1.13-1.29x in the SAME pools — pool minima cannot separate this
+    change from burst noise; adjacency can.  Raises unless both arms
+    emit the identical pair multiset."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    variants = {
+        "r12_verify_first": lambda: dedup.simhash_dup_pairs(docs, max_hamming=16),
+        "r11_distinct_first": lambda: _simhash_pairs_r11_order(docs, 16),
+    }
+    times: dict = {v: [] for v in variants}
+    fingerprints: dict = {}
+    for _ in range(rounds):
+        for vname, fn in variants.items():
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            out = fn()
+            agg = out.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.hash("doc_id_a", "doc_id_b", "hamming").cast("long")
+                ).alias("h"),
+            ).collect()[0]
+            times[vname].append(round(time.perf_counter() - t0, 2))
+            fp = (int(agg["n"]), int(agg["h"]))
+            prev = fingerprints.setdefault(vname, fp)
+            if prev != fp:
+                raise RuntimeError(f"{vname} nondeterministic: {prev} vs {fp}")
+    if len(set(fingerprints.values())) != 1:
+        raise RuntimeError(f"pair sets differ across orderings: {fingerprints}")
+    mins = {v: min(ts) for v, ts in times.items()}
+    return {
+        "probe": "simhash_verify_order_ab",
+        "sf_dir": sf_dir,
+        "rounds": rounds,
+        "runs_sec": times,
+        "min_sec": mins,
+        "r12_over_r11": round(
+            mins["r12_verify_first"] / mins["r11_distinct_first"], 3
+        ),
+        "pairs_out": fingerprints["r12_verify_first"][0],
+    }
+
+
 def probe_contamination_growth(
     spark, n_docs: int, run_operator: bool = True
 ) -> dict:
@@ -1497,6 +1603,11 @@ def main() -> None:
         print(json.dumps(probe_simhash_wide_growth(spark, 4_000_000)))
     if which == "simhash_wide_growth_smoke":
         print(json.dumps(probe_simhash_wide_growth(spark, 20_000)))
+    if which == "simhash_verify_order_ab":
+        print(json.dumps(probe_simhash_verify_order_ab(spark, rounds=3)))
+    if which == "simhash_verify_order_ab_smoke":
+        print(json.dumps(probe_simhash_verify_order_ab(
+            spark, rounds=1, sf_dir="/root/testdata/sf0.01")))
     if which == "contamination_growth":
         print(json.dumps(probe_contamination_growth(spark, 250_000)))
         print(json.dumps(probe_contamination_growth(spark, 1_000_000)))
