@@ -246,6 +246,64 @@ def test_simhash_wide_adds_no_exchanges(spark, corpus):
     assert narrow == wide == 1, (narrow, wide)
 
 
+def test_simhash_wide_matches_duckdb_replay(spark, corpus):
+    """The 120-bit pipeline is ANSI-SQL-replayable end-to-end, the same
+    bar the registry oracle holds the 60-bit path to: DuckDB computes
+    both md5 halves' votes, the 4x30-bit chunk blocking, and the
+    two-half hamming, and must emit the identical (a, b, hamming)
+    set."""
+    import duckdb
+
+    rows = corpus.select("doc_id", "text").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(r["doc_id"], r["text"]) for r in rows],
+    )
+
+    def bit_terms(hcol):
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform({hcol}, h -> ((h >> {b}) & 1) * 2 - 1)) > 0"
+            f" THEN (1::BIGINT << {b}) ELSE 0 END)"
+            for b in range(60)
+        )
+
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, s0, s1, {c} AS chunk_idx,"
+        f" ({col} >> {sh}) & 1073741823 AS chunk FROM sh"
+        for c, (col, sh) in enumerate(
+            (("s0", 0), ("s0", 30), ("s1", 0), ("s1", 30))
+        )
+    )
+    oracle = con.sql(f"""
+    WITH toks AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '') AS t FROM documents),
+    hashed AS (SELECT doc_id,
+               list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h0,
+               list_transform(t, x -> ('0x' || substr(md5(x), 17, 15))::BIGINT) AS h1
+               FROM toks WHERE len(t) > 0),
+    sh AS (SELECT doc_id, {bit_terms('h0')} AS s0, {bit_terms('h1')} AS s1 FROM hashed),
+    chunks AS ({chunk_rows}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                    a.s0 AS sa0, a.s1 AS sa1, b.s0 AS sb0, b.s1 AS sb1
+             FROM chunks a JOIN chunks b
+               ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+              AND a.doc_id < b.doc_id)
+    SELECT doc_id_a, doc_id_b,
+           bit_count(xor(sa0, sb0)) + bit_count(xor(sa1, sb1)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa0, sb0)) + bit_count(xor(sa1, sb1)) <= 3
+    """).fetchall()
+    got = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in dedup.simhash_dup_pairs(corpus, max_hamming=3, bits=120).collect()
+    }
+    assert got == {(a, b, int(h)) for a, b, h in oracle}
+    assert len(got) >= 1
+
+
 def test_simhash_bits_validation(corpus):
     with pytest.raises(ValueError):
         dedup.simhash(corpus, bits=64)
