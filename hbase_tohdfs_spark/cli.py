@@ -274,7 +274,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from hbase_tohdfs_spark.operators import multimodal
 
             out = multimodal.phash_dup_groups(
-                multimodal.phash_images(multimodal.attach_image_blob(docs))
+                multimodal.render_phash_images(docs)
             )
         elif args.method == "semantic":
             from hbase_tohdfs_spark.operators import similarity
@@ -340,16 +340,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from hbase_tohdfs_spark.operators import multimodal
 
         docs = spark.read.parquet(args.documentsParquet)
+        # fused render+decode passes (r12): one Python stage per
+        # modality instead of attach -> consume, same rows
         if args.modality == "image":
-            out = multimodal.image_decode_resize(multimodal.attach_image_blob(docs))
+            out = multimodal.render_image_stages(docs)
         elif args.modality == "audio":
-            out = multimodal.extract_audio_features(
-                multimodal.attach_wav_blob(docs)
-            )
+            out = multimodal.render_audio_features(docs)
         else:
-            out = multimodal.sample_video_frames(
-                multimodal.attach_video_blob(docs)
-            )
+            out = multimodal.render_video_frames(docs)
         out.write.mode("overwrite").parquet(args.outputFolder)
     elif args.verb == "Curate":
         from hbase_tohdfs_spark.operators import curation

