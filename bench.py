@@ -185,6 +185,10 @@ def main() -> None:
         # round 3 recorded no timings at all because the first failure
         # aborted the run.
         try:
+            # Label the query's jobs (guide §1.5) so a UI/event-log
+            # trace of a bench run maps jobs back to queries; the py4j
+            # call is microseconds, outside no timed region's hot path.
+            spark.sparkContext.setJobDescription(f"bench:{name}")
             for _ in range(N_RUNS_PER_QUERY):
                 spark.catalog.clearCache()  # operators may persist()
                 t0 = time.perf_counter()
@@ -192,6 +196,7 @@ def main() -> None:
                 df.write.mode("overwrite").format("noop").save()
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
+            spark.sparkContext.setJobDescription(None)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             # the session may be wedged (e.g. a failed streaming query);
