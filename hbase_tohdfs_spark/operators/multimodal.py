@@ -355,26 +355,46 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def walk_stub_frames(payload: bytes, every: int, digest=None) -> list[tuple]:
+    """THE stub container's frame walk — ``8 + md5(payload)[5] % 8``
+    frames, every ``every``-th one "decoded" to
+    ``md5(payload || ':' || idx)`` — as ``(n_frames, frame_idx,
+    frame_md5)`` tuples.  The single definition shared by the staged
+    :func:`sample_frames` and the fused :func:`blob_features_and_frames`
+    (r12 verdict item 7: the fused op re-derived this formula inline,
+    the one place staged/fused could diverge silently).  ``digest``
+    accepts an already-computed ``hashlib.md5(payload)`` so the fused
+    pass keeps its one-digest-per-payload property."""
+    if digest is None:
+        digest = hashlib.md5(payload)
+    n = 8 + digest.digest()[5] % 8
+    return [
+        (
+            n,
+            idx,
+            hashlib.md5(payload + b":" + str(idx).encode()).hexdigest(),
+        )
+        for idx in range(0, n, every)
+    ]
+
+
 def sample_frames(blobs: DataFrame, every: int = 4) -> DataFrame:
     """STUB video frame sampling: the fake container has
     ``8 + md5(payload)[5] % 8`` frames; every ``every``-th frame is
-    "decoded" to a per-frame content hash ``md5(payload || ':' || idx)``.
-    One output row per sampled frame — the row-exploding batch shape a
-    real ffmpeg-based sampler produces."""
+    "decoded" to a per-frame content hash ``md5(payload || ':' || idx)``
+    (one definition: :func:`walk_stub_frames`).  One output row per
+    sampled frame — the row-exploding batch shape a real ffmpeg-based
+    sampler produces."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "n_frames": [], "frame_idx": [], "frame_md5": []}
             for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
-                payload = bytes(b)
-                n = 8 + hashlib.md5(payload).digest()[5] % 8
-                for idx in range(0, n, every):
+                for n, idx, fmd5 in walk_stub_frames(bytes(b), every):
                     out["doc_id"].append(doc_id)
                     out["n_frames"].append(n)
                     out["frame_idx"].append(idx)
-                    out["frame_md5"].append(
-                        hashlib.md5(payload + b":" + str(idx).encode()).hexdigest()
-                    )
+                    out["frame_md5"].append(fmd5)
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(run, FRAME_SCHEMA)
@@ -585,10 +605,15 @@ def _decode_resize_stage_rows(
     ]
 
 
-def _image_stages_batch_fn(target_w: int, target_h: int, render: bool = False):
+def _image_stages_batch_fn(
+    target_w: int, target_h: int, render: bool = False, text_col: str = "text"
+):
     """Batch loop for the decode+resize stages; with ``render=True`` the
-    input batches carry (doc_id, text) and the payload is rendered in
-    the same pass (see :func:`render_image_stages`)."""
+    input batches carry (doc_id, ``text_col``) and the payload is
+    rendered in the same pass (see :func:`render_image_stages`;
+    ``text_col`` must match the caller's selected column — ADVICE r12:
+    a hardcoded "text" broke every non-default column at execution
+    time)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -598,7 +623,7 @@ def _image_stages_batch_fn(target_w: int, target_h: int, render: bool = False):
             }
             src = (
                 (d, _render_image_payload(d, t)[0])
-                for d, t in zip(pdf["doc_id"], pdf["text"])
+                for d, t in zip(pdf["doc_id"], pdf[text_col])
             ) if render else (
                 (d, bytes(b)) for d, b in zip(pdf["doc_id"], pdf["blob"])
             )
@@ -634,7 +659,7 @@ def render_image_stages(
     (interleaved min-of-3, identical rows): media_image_pipeline
     1.95s -> 1.27s = 1.54x; plan shape 2 MapInPandas -> 1."""
     return docs.select("doc_id", text_col).mapInPandas(
-        _image_stages_batch_fn(target_w, target_h, render=True),
+        _image_stages_batch_fn(target_w, target_h, render=True, text_col=text_col),
         IMAGE_STAGES_SCHEMA,
     )
 
@@ -822,6 +847,20 @@ def blob_features_and_frames(
         for pdf in batches:
             out = {f.name: [] for f in MULTIMODAL_UNION_SCHEMA.fields}
             for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                # NULL text (ADVICE r12): the staged path's SQL cast
+                # keeps the blob NULL and the oracle's md5(NULL) is NULL
+                # — a str(None) payload would fabricate b"None" rows.
+                # Features row with NULL payload columns, no frames
+                # (generate_series over a NULL n_frames emits nothing).
+                if t is None or (isinstance(t, float) and t != t):
+                    out["doc_id"].append(doc_id)
+                    out["kind"].append("features")
+                    for col in (
+                        "n_bytes", "content_md5", "head_hex",
+                        "n_frames", "frame_idx", "frame_md5",
+                    ):
+                        out[col].append(None)
+                    continue
                 payload = str(t).encode("utf-8")
                 digest = hashlib.md5(payload)
                 out["doc_id"].append(doc_id)
@@ -832,8 +871,7 @@ def blob_features_and_frames(
                 out["n_frames"].append(None)
                 out["frame_idx"].append(None)
                 out["frame_md5"].append(None)
-                n = 8 + digest.digest()[5] % 8
-                for idx in range(0, n, every):
+                for n, idx, fmd5 in walk_stub_frames(payload, every, digest):
                     out["doc_id"].append(doc_id)
                     out["kind"].append("frame")
                     out["n_bytes"].append(None)
@@ -841,11 +879,7 @@ def blob_features_and_frames(
                     out["head_hex"].append(None)
                     out["n_frames"].append(n)
                     out["frame_idx"].append(idx)
-                    out["frame_md5"].append(
-                        hashlib.md5(
-                            payload + b":" + str(idx).encode()
-                        ).hexdigest()
-                    )
+                    out["frame_md5"].append(fmd5)
             pdf_out = pd.DataFrame(out)
             # mixed None/int columns land as object dtype; pin the
             # nullable Arrow-compatible dtypes the schema declares

@@ -96,6 +96,54 @@ def test_blob_features_and_frames_matches_staged_union(docs):
     _assert_same_rows(feats.unionByName(frames), fused)
 
 
+def test_render_image_stages_custom_text_col(docs):
+    # ADVICE r12: the render batch fn hardcoded pdf["text"], so any
+    # non-default text_col selected the right column and then raised
+    # KeyError at execution time.  Rows must equal the default-column
+    # run on the same strings.
+    renamed = docs.withColumnRenamed("text", "body")
+    _assert_same_rows(
+        multimodal.render_image_stages(docs, 8, 8),
+        multimodal.render_image_stages(renamed, 8, 8, text_col="body"),
+    )
+
+
+def test_blob_features_null_text_matches_oracle_semantics(spark):
+    # ADVICE r12: str(None) fabricated a b"None" payload.  The SQL
+    # oracle's md5(NULL) is NULL and generate_series over a NULL
+    # n_frames yields nothing: one features row, all payload columns
+    # NULL, zero frame rows.
+    docs = spark.createDataFrame(
+        [(1, "real text"), (2, None)], "doc_id: long, text: string"
+    )
+    rows = multimodal.blob_features_and_frames(docs, every=4).collect()
+    null_rows = [r for r in rows if r["doc_id"] == 2]
+    assert len(null_rows) == 1
+    r = null_rows[0]
+    assert r["kind"] == "features"
+    assert r["content_md5"] is None and r["n_bytes"] is None
+    assert r["head_hex"] is None and r["frame_md5"] is None
+    # the non-null doc is untouched: features row + its frame rows
+    assert any(x["kind"] == "frame" for x in rows if x["doc_id"] == 1)
+
+
+def test_frame_walk_helper_is_shared():
+    # r12 verdict item 7: the fused op re-derived the frame formula
+    # inline.  One definition now; pin its output against the formula.
+    import hashlib
+
+    payload = b"shared frame walk"
+    n = 8 + hashlib.md5(payload).digest()[5] % 8
+    walked = multimodal.walk_stub_frames(payload, every=4)
+    assert [w[0] for w in walked] == [n] * len(walked)
+    assert [w[1] for w in walked] == list(range(0, n, 4))
+    assert walked[0][2] == hashlib.md5(payload + b":0").hexdigest()
+    # digest passthrough (the fused caller's one-digest property)
+    assert walked == multimodal.walk_stub_frames(
+        payload, 4, hashlib.md5(payload)
+    )
+
+
 def test_fused_plans_have_single_python_stage(docs):
     for df in (
         multimodal.render_image_stages(docs, 8, 8),
