@@ -61,8 +61,12 @@ def _ngram_variant(docs, k, threshold, variant: str, max_df=1000):
 
     variant:
       base     the shipped operator (delegates to it)
-      fold     n_full carried through the pair-count grouping; sizes
-               joins and the single-consumer persist removed
+      fold     n_full carried through the pair-count grouping; the two
+               final size joins removed.  The sh_docs persist STAYS: the
+               plain path consumes it 4x (both self-join sides + both
+               dfc broadcast builds) — the first fold probe dropped it
+               and paid the tokenize+hash chain repeatedly (224s vs 32s
+               on a degraded host).
       shj      fold + SHUFFLE_HASH hint on the postings self-join
     """
     from pyspark.sql import functions as F
@@ -72,7 +76,7 @@ def _ngram_variant(docs, k, threshold, variant: str, max_df=1000):
     if variant == "base":
         return dedup.ngram_jaccard_pairs(docs, k=k, threshold=threshold)
 
-    sh_docs = dedup.poly_shingle_docs(docs, k)
+    sh_docs = dedup.poly_shingle_docs(docs, k).persist()
     sets = sh_docs.filter(F.size("sh") > 0).select(
         "doc_id", F.array_distinct("sh").alias("shset")
     )
@@ -115,13 +119,10 @@ def _ngram_variant(docs, k, threshold, variant: str, max_df=1000):
         F.col("jaccard") >= threshold
     )
     with cacheutil.scoped_fanout_join_confs(docs.sparkSession):
-        return cacheutil.materialize_and_release(pairs)
+        return cacheutil.materialize_and_release(pairs, sh_docs)
 
 
 def probe_ngram_ab(spark, sf_dir: str, rounds: int = N_RUNS) -> dict:
-    from pyspark.sql import functions as F
-
-    from hbase_tohdfs_spark.operators import cacheutil, dedup
     from hbase_tohdfs_spark.queries import _t
 
     docs = _t(spark, sf_dir, "documents")
@@ -136,13 +137,33 @@ def probe_ngram_ab(spark, sf_dir: str, rounds: int = N_RUNS) -> dict:
             df = _ngram_variant(docs, 2, 0.5, v)
             _noop(df)
             el = time.perf_counter() - t0
+            print(f"# round {r} {v}: {el:.2f}s", file=sys.stderr, flush=True)
             walls[v] = el if walls[v] is None else min(walls[v], el)
             if v not in rows:
                 rows[v] = _sorted_rows(df)
     for v in variants[1:]:
         assert rows[v] == rows["base"], f"{v} rows differ from base"
+    return {
+        "probe": "ngram_ab",
+        "sf_dir": sf_dir,
+        "n_runs": rounds,
+        "walls_sec": {v: round(w, 3) for v, w in walls.items()},
+        "ratio_base_over_fold": round(walls["base"] / walls["fold"], 3),
+        "ratio_base_over_shj": round(walls["base"] / walls["shj"], 3),
+        "result_rows": len(rows["base"]),
+    }
 
-    # Candidate-volume accounting (verdict item 2: report the deltas).
+
+def probe_ngram_counts(spark, sf_dir: str) -> dict:
+    """Candidate-volume accounting (verdict item 2: report the deltas).
+    Separate from the wall A/B: the unfiltered eq-join count is
+    sum_s C(df_s, 2) rows — minutes of pure counting on a sick host."""
+    from pyspark.sql import functions as F
+
+    from hbase_tohdfs_spark.operators import cacheutil, dedup
+    from hbase_tohdfs_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
     sh_docs = dedup.poly_shingle_docs(docs, 2)
     sets = sh_docs.filter(F.size("sh") > 0).select(
         "doc_id", F.array_distinct("sh").alias("shset")
@@ -160,7 +181,9 @@ def probe_ngram_ab(spark, sf_dir: str, rounds: int = N_RUNS) -> dict:
         >= F.lit(0.5 - 5e-5) * F.greatest(F.col("a.n_full"), F.col("b.n_full"))
     )
     cand_all = a.join(b, eq).count()
+    print(f"# eq-join rows: {cand_all}", file=sys.stderr, flush=True)
     cand_lf = a.join(b, lf).count()
+    print(f"# lf-join rows: {cand_lf}", file=sys.stderr, flush=True)
     distinct_pairs = (
         a.join(b, lf)
         .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
@@ -168,13 +191,8 @@ def probe_ngram_ab(spark, sf_dir: str, rounds: int = N_RUNS) -> dict:
         .count()
     )
     return {
-        "probe": "ngram_ab",
+        "probe": "ngram_counts",
         "sf_dir": sf_dir,
-        "n_runs": rounds,
-        "walls_sec": {v: round(w, 3) for v, w in walls.items()},
-        "ratio_base_over_fold": round(walls["base"] / walls["fold"], 3),
-        "ratio_base_over_shj": round(walls["base"] / walls["shj"], 3),
-        "result_rows": len(rows["base"]),
         "candidate_rows_eq_join": cand_all,
         "candidate_rows_after_length_filter": cand_lf,
         "distinct_candidate_pairs": distinct_pairs,
@@ -381,6 +399,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     fns = {
         "ngram_ab": probe_ngram_ab,
+        "ngram_counts": probe_ngram_counts,
         "components_decompose": probe_components_decompose,
         "cms_decompose": probe_cms_decompose,
         "q8_fold_ab": probe_q8_fold_ab,
